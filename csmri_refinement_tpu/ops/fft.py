@@ -1,0 +1,82 @@
+"""FFT helpers and complex⇄real packing on channel-last layout.
+
+TPU-native replacement for the reference's two FFT stacks:
+
+* numpy helpers ``mymath.fft2/ifft2/fft2c/ifft2c``
+  (/root/reference/data/reconstruction/deep_med_lib/utils/mymath.py:8-42)
+* the cuFFT-backed autograd Functions ``Fft2d/Ifft2d`` with hand-written
+  conjugate-transpose backward passes
+  (/root/reference/data/reconstruction/deep_med_lib/my_pytorch/myfft.py:21-128)
+
+Here a single ``jnp.fft`` path serves both: XLA lowers FFT HLOs to the TPU's
+native FFT, and autodiff through ``jnp.fft`` is exact — no manual backward.
+
+Layout conventions (TPU-first, channel-last):
+
+* complex images are ``complex64`` arrays ``(..., H, W)``
+* packed images are ``float32`` arrays ``(..., H, W, 2)`` with
+  ``[..., 0] = real`` and ``[..., 1] = imag`` (the reference packs as NCHW
+  2-channel, dnn_io.complex2real at deep_med_lib/utils/dnn_io.py:4-23)
+* ``fft2``/``ifft2`` are ortho-normalized and UNSHIFTED — undersampling masks
+  for the data-consistency path are generated with ``centred=False``
+  (reference myImageTransformations.py:78-81), so no fftshift appears in the
+  hot loop
+* ``fft2c``/``ifft2c`` are the centered (shifted) variants used by
+  k-space center-cropping (reference CenterCropInKspace,
+  myImageTransformations.py:935-954)
+"""
+
+import jax.numpy as jnp
+
+
+def pack_complex(x):
+  """complex64 (..., H, W) → float32 (..., H, W, 2)."""
+  return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
+
+
+def unpack_complex(x):
+  """float32 (..., H, W, 2) → complex64 (..., H, W).
+
+  Also accepts a single-channel array (..., H, W, 1), treated as real-valued
+  (used for masks, which the reference stores via the ``m*(1+1j)`` hack,
+  dnn_io.py:40-41 — here masks are honest single-channel reals).
+  """
+  if x.shape[-1] == 1:
+    return x[..., 0].astype(jnp.complex64)
+  return (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+
+
+def fft2(x):
+  """Ortho-normalized, unshifted 2D FFT over the last two axes."""
+  return jnp.fft.fft2(x, axes=(-2, -1), norm='ortho')
+
+
+def ifft2(x):
+  """Ortho-normalized, unshifted 2D inverse FFT over the last two axes."""
+  return jnp.fft.ifft2(x, axes=(-2, -1), norm='ortho')
+
+
+def fft2c(x, axes=(-2, -1)):
+  """Centered ortho 2D FFT (ifftshift → fft2 → fftshift), reference
+  mymath.fft2c (mymath.py:18-29)."""
+  return jnp.fft.fftshift(
+      jnp.fft.fft2(jnp.fft.ifftshift(x, axes=axes), axes=axes, norm='ortho'),
+      axes=axes)
+
+
+def ifft2c(x, axes=(-2, -1)):
+  """Centered ortho 2D inverse FFT, reference mymath.ifft2c (mymath.py:32-42)."""
+  return jnp.fft.fftshift(
+      jnp.fft.ifft2(jnp.fft.ifftshift(x, axes=axes), axes=axes, norm='ortho'),
+      axes=axes)
+
+
+def complex_abs(x, keepdims=True):
+  """Magnitude of a packed complex image (..., H, W, 2) → (..., H, W, 1).
+
+  Reference utils/tensor_transforms.py:62-75 (NCHW there).
+  """
+  mag = jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
+  if keepdims:
+    mag = mag[..., None]
+  return mag

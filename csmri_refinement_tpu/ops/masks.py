@@ -1,0 +1,258 @@
+"""Undersampling-mask generators: host numpy (reference-faithful) and
+on-device keyed JAX.
+
+The numpy implementations reproduce the reference's sampling math exactly
+(/root/reference/data/reconstruction/deep_med_lib/utils/compressed_sensing.py):
+
+* ``cartesian_mask`` — variable-density line sampling with guaranteed center
+  lines, kt-FOCUSS-derived pdf (compressed_sensing.py:82-123)
+* ``radial_sampling`` — golden-angle spokes gridded to cartesian
+  (compressed_sensing.py:568-647)
+* ``get_mask_generator`` — config dispatch incl. variable acceleration
+  (myImageTransformations.py:22-84; central_lines=8 for cartesian)
+
+The JAX implementations are stateless and jittable. Choice-without-
+replacement over a pdf (numpy's sequential draw = Plackett–Luce process) is
+sampled with the distributionally-equivalent Gumbel top-k trick, which keeps
+shapes static even when the number of lines is a traced value (variable
+acceleration). Masks are deterministic per PRNG key, which fixes by
+construction the reference's stateful fixed-validation-mask race
+(myImageTransformations.py:1204-1206).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) reference-faithful generators
+# ---------------------------------------------------------------------------
+
+def normal_pdf(length, sensitivity):
+  """Unnormalized gaussian pdf over line indices (compressed_sensing.py:13-14)."""
+  return np.exp(-sensitivity * (np.arange(length) - length / 2) ** 2)
+
+
+def cartesian_mask_np(shape, acc, sample_n=10, centred=False, rng=None):
+  """Variable-density cartesian line mask.
+
+  shape: (..., nx, ny); acc: acceleration factor (float ok).
+  Sampling density estimated from the kt-FOCUSS implementation
+  (compressed_sensing.py:82-123).
+  """
+  if rng is None:
+    rng = np.random
+  N, Nx, Ny = int(np.prod(shape[:-2])), shape[-2], shape[-1]
+  pdf_x = normal_pdf(Nx, 0.5 / (Nx / 10.) ** 2)
+  lmda = Nx / (2. * acc)
+  n_lines = int(Nx // acc)
+
+  # Add uniform distribution
+  pdf_x += lmda * 1. / Nx
+
+  if sample_n:
+    pdf_x[Nx // 2 - sample_n // 2:Nx // 2 + sample_n // 2] = 0
+    pdf_x /= np.sum(pdf_x)
+    n_lines -= sample_n
+
+  mask = np.zeros((N, Nx))
+  for i in range(N):
+    idx = rng.choice(Nx, n_lines, False, pdf_x)
+    mask[i, idx] = 1
+
+  if sample_n:
+    mask[:, Nx // 2 - sample_n // 2:Nx // 2 + sample_n // 2] = 1
+
+  mask = np.repeat(mask[:, :, None], Ny, axis=2)
+  mask = mask.reshape(shape)
+
+  if not centred:
+    mask = np.fft.ifftshift(mask, axes=(-2, -1))
+  return mask
+
+
+def radial_sampling_np(shape, n_lines, angle_begin=0, rand=False,
+                       golden_angle=False, centred=True, rng=None):
+  """Golden-angle/uniform radial spokes gridded to cartesian
+  (compressed_sensing.py:568-647). Requires nx == ny."""
+  if rng is None:
+    rng = np.random
+  GOLDEN_ANGLE = np.pi / ((1 + np.sqrt(5)) / 2)
+
+  n, nx0, ny0 = int(np.prod(shape[:-2])), shape[-2], shape[-1]
+  nx = ny = max(nx0, ny0)
+  assert nx == ny, 'radial sampling requires square k-space'
+
+  mask = np.zeros((n, nx, ny), dtype=int)
+
+  if rand:
+    angle_begin = np.pi * rng.random_sample()
+
+  y = np.arange(-nx / 2, nx / 2, 1)
+  x = np.arange(-ny / 2, ny / 2, 1)
+
+  if golden_angle:
+    angles = np.array([angle_begin + i * GOLDEN_ANGLE
+                       for i in range(n_lines * n)])
+  else:
+    angles = np.tile(np.arange(0, np.pi, np.pi / n_lines), n)
+    angles = angles + np.repeat(rng.random_sample(n) * np.pi / n_lines,
+                                n_lines)
+
+  kloc_all = np.outer(y, np.cos(angles)) + 1j * np.outer(x, np.sin(angles))
+
+  # Round to the nearest cartesian location, recentre, wrap out-of-range.
+  kloc1 = np.round(kloc_all + (0.5 + 0.5j)) + ((nx / 2) + (ny / 2) * 1j)
+  kloc1real = np.real(kloc1)
+  kloc1real = kloc1real - nx * (kloc1real > nx)
+  kloc1imag = np.imag(kloc1)
+  kloc1imag = kloc1imag - ny * (kloc1imag > ny)
+  kloc1real = kloc1real + nx * (kloc1real < 1)
+  kloc1imag = kloc1imag + ny * (kloc1imag < 1)
+  t = np.repeat(np.arange(n), n_lines * nx)
+  xi = (kloc1real.transpose().reshape(-1) - 1).astype(int)
+  yi = (kloc1imag.transpose().reshape(-1) - 1).astype(int)
+  mask[t, xi, yi] = 1
+
+  if nx0 != ny0:
+    xpad = (nx - nx0) // 2
+    ypad = (ny - ny0) // 2
+    mask = mask[:, xpad:nx - xpad, ypad:ny - ypad]
+
+  if not centred:
+    mask = np.fft.ifftshift(mask, axes=(-2, -1))
+  return mask.reshape(shape)
+
+
+CARTESIAN_CENTRAL_LINES = 8  # reference myImageTransformations.py:73
+
+
+def get_mask_generator_np(sampling_scheme, im_shape, acceleration_factor,
+                          variable=False, rng=None):
+  """Host-side mask generator closure (myImageTransformations.py:22-84)."""
+  if rng is None:
+    rng = np.random
+  size = im_shape[-1]
+
+  def mask_gen():
+    if sampling_scheme == 'radial':
+      if variable:
+        x_in = np.arange(1, size // 2)
+        acc_factors = rng.randint(1, len(x_in), im_shape[0])
+        mask = np.array([
+            radial_sampling_np((1, size, size), int(acc_factors[i]),
+                               rand=True, golden_angle=True, centred=False,
+                               rng=rng)
+            for i in range(im_shape[0])])
+        return mask.reshape(im_shape)
+      return radial_sampling_np(im_shape, acceleration_factor, rand=True,
+                                golden_angle=True, centred=False, rng=rng)
+    # cartesian / varden
+    if variable:
+      mask = np.zeros(im_shape)
+      for i in range(im_shape[0]):
+        acc_r = float(rng.uniform(1, acceleration_factor * 1.5))
+        mask[i] = cartesian_mask_np(im_shape[1:], acc_r,
+                                    CARTESIAN_CENTRAL_LINES,
+                                    centred=False, rng=rng)
+      return mask
+    return cartesian_mask_np(im_shape, acceleration_factor,
+                             CARTESIAN_CENTRAL_LINES, centred=False, rng=rng)
+
+  return mask_gen
+
+
+# ---------------------------------------------------------------------------
+# On-device (JAX) generators
+# ---------------------------------------------------------------------------
+
+def _cartesian_pdf(nx, acc, sample_n):
+  """The kt-FOCUSS line pdf as a jnp array; mirrors cartesian_mask_np."""
+  x = jnp.arange(nx) - nx / 2
+  pdf = jnp.exp(-(0.5 / (nx / 10.) ** 2) * x ** 2)
+  lmda = nx / (2. * acc)
+  pdf = pdf + lmda / nx
+  if sample_n:
+    center = (jnp.arange(nx) >= nx // 2 - sample_n // 2) & \
+             (jnp.arange(nx) < nx // 2 + sample_n // 2)
+    pdf = jnp.where(center, 0.0, pdf)
+    pdf = pdf / jnp.sum(pdf)
+  return pdf
+
+
+def cartesian_mask(key, shape, acc, sample_n=CARTESIAN_CENTRAL_LINES,
+                   centred=False):
+  """Batched variable-density cartesian mask, on device.
+
+  Parameters
+  ----------
+  key : jax PRNG key
+  shape : (batch, nx, ny) static shape
+  acc : float or traced scalar or (batch,) array of per-example accelerations
+    (variable acceleration, reference myImageTransformations.py:75-80)
+  sample_n : int, number of guaranteed central lines
+
+  Uses Gumbel top-k over log-pdf, which equals numpy's sequential
+  choice-without-replacement (Plackett–Luce) in distribution while keeping
+  all shapes static under jit.
+  """
+  batch, nx, ny = shape
+  acc = jnp.asarray(acc, dtype=jnp.float32)
+  acc_b = jnp.broadcast_to(acc, (batch,))
+
+  keys = jax.random.split(key, batch)
+
+  def one_mask(k, acc_i):
+    pdf = _cartesian_pdf(nx, acc_i, sample_n)
+    n_lines = (nx // acc_i).astype(jnp.int32) - (sample_n if sample_n else 0)
+    gumbel = jax.random.gumbel(k, (nx,))
+    scores = jnp.where(pdf > 0, jnp.log(pdf) + gumbel, -jnp.inf)
+    # rank[i] = how many scores are strictly greater → top-n_lines selection
+    # with a dynamic (traced) n_lines but static shapes.
+    order = jnp.argsort(-scores)
+    rank = jnp.argsort(order)
+    mask_x = (rank < n_lines).astype(jnp.float32)
+    if sample_n:
+      idx = jnp.arange(nx)
+      center = (idx >= nx // 2 - sample_n // 2) & \
+               (idx < nx // 2 + sample_n // 2)
+      mask_x = jnp.where(center, 1.0, mask_x)
+    return jnp.broadcast_to(mask_x[:, None], (nx, ny))
+
+  mask = jax.vmap(one_mask)(keys, acc_b)
+  if not centred:
+    mask = jnp.fft.ifftshift(mask, axes=(-2, -1))
+  return mask
+
+
+def make_masks(key, batch, height, width, sampling_scheme='varden',
+               acceleration_factor=8, variable_acceleration=False,
+               sample_n=CARTESIAN_CENTRAL_LINES):
+  """On-device batched mask generation from undersampling config.
+
+  Cartesian ('varden'/'cartesian') masks are generated fully on device.
+  Variable acceleration draws per-example acc ~ U(1, 1.5·acc) as the
+  reference does (myImageTransformations.py:75-80).
+  """
+  if sampling_scheme in ('varden', 'cartesian'):
+    if variable_acceleration:
+      key, sub = jax.random.split(key)
+      acc = jax.random.uniform(sub, (batch,), minval=1.0,
+                               maxval=acceleration_factor * 1.5)
+    else:
+      acc = float(acceleration_factor)
+    return cartesian_mask(key, (batch, height, width), acc,
+                          sample_n=sample_n, centred=False)
+  elif sampling_scheme == 'radial':
+    # Spoke rasterization is scatter-heavy; generate on host per call.
+    # Radial masks are data-independent, so this sits outside the jitted
+    # step and overlaps with device compute.
+    seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+    rng = np.random.RandomState(seed)
+    mask = radial_sampling_np((batch, height, width),
+                              int(acceleration_factor), rand=True,
+                              golden_angle=True, centred=False, rng=rng)
+    return jnp.asarray(mask, dtype=jnp.float32)
+  else:
+    raise ValueError('Unknown sampling scheme {}'.format(sampling_scheme))

@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-device sharding tests run on CPU with
+``--xla_force_host_platform_device_count=8`` (the reference has no
+multi-device test capability at all; see SURVEY.md §4).
+"""
+
+import os
+
+# The ambient environment may pin JAX_PLATFORMS to a TPU tunnel (e.g.
+# 'axon') and sitecustomize may import jax at interpreter startup, so setting
+# env vars here can be too late — update jax config directly as well. Unit
+# tests always run on the virtual CPU mesh.
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+  os.environ['XLA_FLAGS'] = (
+      flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+  return np.random.RandomState(0)
