@@ -16,7 +16,7 @@ from jax.test_util import check_grads
 from csmri_refinement_tpu.ops import fft as jfft
 from csmri_refinement_tpu.ops import masks as mask_ops
 from csmri_refinement_tpu.ops import dc as dc_ops
-from csmri_refinement_tpu.ops import undersample as us_ops
+import csmri_refinement_tpu.ops.undersample as us_ops
 
 jax.config.update('jax_enable_x64', False)
 
