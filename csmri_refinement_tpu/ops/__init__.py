@@ -8,7 +8,9 @@ RecNet cascade.
 """
 
 from csmri_refinement_tpu.ops.fft import (  # noqa: F401
-    pack_complex, unpack_complex, fft2, ifft2, fft2c, ifft2c, complex_abs)
+    pack_complex, unpack_complex, fft2c, ifft2c, complex_abs)
 from csmri_refinement_tpu.ops.dc import data_consistency  # noqa: F401
-from csmri_refinement_tpu.ops.undersample import (  # noqa: F401
-    undersample, undersample_batch)
+# NOTE: the `undersample`/`fft2`/`ifft2` *functions* are not re-exported at
+# package level — doing so would shadow the `ops.undersample`/`ops.fft`
+# submodule attributes. Import them from their modules directly.
+from csmri_refinement_tpu.ops.undersample import undersample_batch  # noqa: F401
