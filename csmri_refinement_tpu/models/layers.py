@@ -1,0 +1,123 @@
+"""Shared model building blocks: SAME padding, activations, norm layers.
+
+Functional equivalents of the reference layer factories
+(/root/reference/models/utils.py): ``get_same_padding_layer`` (utils.py:58-85),
+``get_activation_fn`` (utils.py:6-21), ``get_normalization_layer``
+(utils.py:36-44), ``need_bias`` (utils.py:47-55) — on NHWC layout for TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+_PAD_MODES = {
+    'zero': 'constant',
+    'reflection': 'reflect',
+    'replication': 'edge',
+}
+
+
+def same_pad(x, kernel_size, stride, mode='zero', dilation=1):
+  """Explicit SAME padding before a VALID conv, NHWC.
+
+  Matches the reference formula (models/utils.py:79-85): for an even total
+  pad split symmetrically, otherwise one extra pixel on the bottom/right
+  (models/utils.py:66-72). Only strides 1 and 2 are supported, like the
+  reference.
+  """
+  assert stride in (1, 2), 'SAME-padding formula only works for stride 1 or 2'
+  effective = kernel_size + (kernel_size - 1) * (dilation - 1)
+  total = -(-(effective - 1) // stride)  # ceil
+  side = total // 2
+  if total % 2 == 0:
+    pads = (side, side)
+  else:
+    pads = (side, side + 1)
+  pad_width = [(0, 0), pads, pads, (0, 0)]
+  return jnp.pad(x, pad_width, mode=_PAD_MODES[mode])
+
+
+def get_activation(name, leakiness=None):
+  """Activation dispatch (reference models/utils.py:6-21).
+
+  prelu is realized as a module (learned per-channel slope); the others are
+  plain functions.
+  """
+  if name == 'relu':
+    return nn.relu
+  if name == 'lrelu':
+    assert leakiness is not None
+    return lambda x: nn.leaky_relu(x, negative_slope=leakiness)
+  if name == 'tanh':
+    return nn.tanh
+  if name == 'softmax':
+    return lambda x: nn.softmax(x, axis=-1)
+  if name == 'prelu':
+    assert leakiness is not None
+    return PReLU(init_slope=leakiness)
+  raise ValueError('Unknown activation function {}'.format(name))
+
+
+class PReLU(nn.Module):
+  """Per-channel parametric ReLU (torch nn.PReLU(num_parameters=C))."""
+  init_slope: float = 0.25
+
+  @nn.compact
+  def __call__(self, x):
+    slope = self.param(
+        'slope', lambda key, shape: jnp.full(shape, self.init_slope),
+        (x.shape[-1],))
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def make_norm_layer(name, use_running_average, dtype=None):
+  """Normalization layer factory (reference models/utils.py:36-44).
+
+  batch → BatchNorm (affine, running stats momentum 0.9 ≈ torch 0.1);
+  instance → InstanceNorm without affine; instance-affine → with affine.
+  """
+  if name == 'batch':
+    return nn.BatchNorm(use_running_average=use_running_average,
+                        momentum=0.9, epsilon=1e-5, dtype=dtype)
+  if name == 'instance':
+    return InstanceNorm(affine=False, dtype=dtype)
+  if name == 'instance-affine':
+    return InstanceNorm(affine=True, dtype=dtype)
+  raise ValueError('Unknown normalization layer {}'.format(name))
+
+
+class InstanceNorm(nn.Module):
+  """Instance normalization over spatial dims of NHWC input."""
+  affine: bool = False
+  epsilon: float = 1e-5
+  dtype: object = None
+
+  @nn.compact
+  def __call__(self, x):
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+    if self.affine:
+      scale = self.param('scale', nn.initializers.ones, (x.shape[-1],))
+      bias = self.param('bias', nn.initializers.zeros, (x.shape[-1],))
+      y = y * scale + bias
+    return y
+
+
+def need_bias(use_norm_layers, norm_layer):
+  """Whether convs need a bias given the following norm layer
+  (reference models/utils.py:47-55)."""
+  if not use_norm_layers or use_norm_layers == 'not-first' or \
+     norm_layer == 'instance':
+    return True
+  return False
+
+
+def channel_dropout(x, rate, deterministic, rng):
+  """torch nn.Dropout2d semantics: drop whole channels (NHWC: broadcast
+  over H, W)."""
+  if deterministic or rate == 0.0:
+    return x
+  keep = jax.random.bernoulli(rng, 1.0 - rate,
+                              (x.shape[0], 1, 1, x.shape[-1]))
+  return jnp.where(keep, x / (1.0 - rate), 0.0)
