@@ -182,16 +182,19 @@ def _cartesian_pdf(nx, acc, sample_n):
 
 
 def cartesian_mask(key, shape, acc, sample_n=CARTESIAN_CENTRAL_LINES,
-                   centred=False):
+                   centred=False, keys=None):
   """Batched variable-density cartesian mask, on device.
 
   Parameters
   ----------
-  key : jax PRNG key
+  key : jax PRNG key (ignored if ``keys`` given)
   shape : (batch, nx, ny) static shape
   acc : float or traced scalar or (batch,) array of per-example accelerations
     (variable acceleration, reference myImageTransformations.py:75-80)
   sample_n : int, number of guaranteed central lines
+  keys : optional (batch,) array of per-example PRNG keys — used for
+    deterministic per-slice validation masks (each slice index folds into a
+    fixed base key), replacing the reference's stateful fixed-mask rotation
 
   Uses Gumbel top-k over log-pdf, which equals numpy's sequential
   choice-without-replacement (Plackett–Luce) in distribution while keeping
@@ -201,7 +204,8 @@ def cartesian_mask(key, shape, acc, sample_n=CARTESIAN_CENTRAL_LINES,
   acc = jnp.asarray(acc, dtype=jnp.float32)
   acc_b = jnp.broadcast_to(acc, (batch,))
 
-  keys = jax.random.split(key, batch)
+  if keys is None:
+    keys = jax.random.split(key, batch)
 
   def one_mask(k, acc_i):
     pdf = _cartesian_pdf(nx, acc_i, sample_n)
@@ -228,12 +232,13 @@ def cartesian_mask(key, shape, acc, sample_n=CARTESIAN_CENTRAL_LINES,
 
 def make_masks(key, batch, height, width, sampling_scheme='varden',
                acceleration_factor=8, variable_acceleration=False,
-               sample_n=CARTESIAN_CENTRAL_LINES):
+               sample_n=CARTESIAN_CENTRAL_LINES, keys=None):
   """On-device batched mask generation from undersampling config.
 
   Cartesian ('varden'/'cartesian') masks are generated fully on device.
   Variable acceleration draws per-example acc ~ U(1, 1.5·acc) as the
-  reference does (myImageTransformations.py:75-80).
+  reference does (myImageTransformations.py:75-80). ``keys`` overrides
+  per-example randomness for deterministic validation masks.
   """
   if sampling_scheme in ('varden', 'cartesian'):
     if variable_acceleration:
@@ -243,7 +248,7 @@ def make_masks(key, batch, height, width, sampling_scheme='varden',
     else:
       acc = float(acceleration_factor)
     return cartesian_mask(key, (batch, height, width), acc,
-                          sample_n=sample_n, centred=False)
+                          sample_n=sample_n, centred=False, keys=keys)
   elif sampling_scheme == 'radial':
     # Spoke rasterization is scatter-heavy; generate on host per call.
     # Radial masks are data-independent, so this sits outside the jitted

@@ -1,0 +1,61 @@
+"""Differentiable SSIM via grouped gaussian convolutions.
+
+Rebuild of the vendored pytorch_ssim
+(/root/reference/metrics/pytorch_ssim/__init__.py:22-78): 11×11 gaussian
+window with sigma 1.5, per-channel grouped conv with SAME (half-window zero)
+padding, C1=0.01², C2=0.03². Jittable, NHWC.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size, sigma=1.5):
+  g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2) /
+             (2.0 * sigma ** 2))
+  g = g / g.sum()
+  w2d = np.outer(g, g).astype(np.float32)
+  return w2d
+
+
+def _filter(img, window):
+  """Depthwise conv of NHWC image with HW window, zero SAME padding."""
+  c = img.shape[-1]
+  kernel = jnp.asarray(window)[:, :, None, None]
+  kernel = jnp.tile(kernel, (1, 1, 1, c))  # HWIO with feature_group_count=c
+  pad = window.shape[0] // 2
+  return jax.lax.conv_general_dilated(
+      img, kernel, window_strides=(1, 1),
+      padding=[(pad, pad), (pad, pad)],
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+      feature_group_count=c)
+
+
+def ssim(img1, img2, window_size=11, size_average=True):
+  """SSIM over NHWC batches. Returns scalar (size_average) or per-example."""
+  window = _gaussian_window(window_size)
+
+  mu1 = _filter(img1, window)
+  mu2 = _filter(img2, window)
+
+  mu1_sq = mu1 * mu1
+  mu2_sq = mu2 * mu2
+  mu1_mu2 = mu1 * mu2
+
+  sigma1_sq = _filter(img1 * img1, window) - mu1_sq
+  sigma2_sq = _filter(img2 * img2, window) - mu2_sq
+  sigma12 = _filter(img1 * img2, window) - mu1_mu2
+
+  c1 = 0.01 ** 2
+  c2 = 0.03 ** 2
+
+  ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / \
+      ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+
+  if size_average:
+    return jnp.mean(ssim_map)
+  return jnp.mean(ssim_map, axis=(1, 2, 3))

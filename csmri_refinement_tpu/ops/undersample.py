@@ -49,7 +49,7 @@ def undersample(x, mask, key=None, noise=0.0):
 
 def undersample_batch(key, gt, sampling_scheme='varden',
                       acceleration_factor=8, variable_acceleration=False,
-                      noise=0.0, fixed_mask=None):
+                      noise=0.0, fixed_mask=None, mask_keys=None):
   """Full on-device forward model for a batch of GT slices.
 
   Parameters
@@ -59,6 +59,8 @@ def undersample_batch(key, gt, sampling_scheme='varden',
     already normalized to (0, 1) by the data pipeline
   fixed_mask : optional (B, H, W) mask to use instead of sampling one
     (deterministic validation masks)
+  mask_keys : optional (B,) per-example PRNG keys for deterministic
+    per-slice masks (validation: key = fold_in(base, slice_index))
 
   Returns
   -------
@@ -80,7 +82,8 @@ def undersample_batch(key, gt, sampling_scheme='varden',
     mask = mask_ops.make_masks(mask_key, batch, height, width,
                                sampling_scheme=sampling_scheme,
                                acceleration_factor=acceleration_factor,
-                               variable_acceleration=variable_acceleration)
+                               variable_acceleration=variable_acceleration,
+                               keys=mask_keys)
 
   x = gt.astype(jnp.complex64)
   x_und, k_und = undersample(x, mask, key=key, noise=noise)

@@ -1,0 +1,170 @@
+"""BaseRunner: template-method training engine over jitted steps.
+
+Rebuild of /root/reference/training/base_runner.py:13-203. The epoch loop,
+metric accumulation, and validation/inference loops match the reference; the
+per-step work is a single compiled XLA program per runner (subclasses build
+it), instead of eager per-op dispatch:
+
+* batch fetch: host loader hands numpy dicts; the jitted step moves them to
+  device and (for reconstruction) runs the on-device forward model — there
+  is no cudaify equivalent, sharding/jit place the data
+* model input binding: via each model's ``INPUT_KEYS``, replacing the
+  reference's forward-signature inspection (base_runner.py:43-63)
+* loss weighting: dict of per-criterion weights folded into the compiled
+  total-loss (reference assembles a weight vector, base_runner.py:19-27)
+"""
+
+import logging
+from itertools import chain
+
+import jax
+import numpy as np
+
+from csmri_refinement_tpu.metrics import accumulate_metric
+from csmri_refinement_tpu.utils import host_fetch
+
+
+class BaseRunner:
+  def __init__(self, conf, mode):
+    self.conf = conf
+    self.mode = mode
+    self.epoch = 0
+
+  # -- subclass hooks ---------------------------------------------------------
+
+  def _train_step(self, batch):
+    """Run one (or more) update(s); returns (num_batches, loss_metrics,
+    data) where data is consumed by _compute_train_metrics."""
+    raise NotImplementedError
+
+  def _val_step(self, batch, compute_metrics=True):
+    raise NotImplementedError
+
+  def _compute_train_metrics(self, data):
+    raise NotImplementedError
+
+  def _compute_test_metrics(self, data):
+    raise NotImplementedError
+
+  def get_named_outputs(self, data):
+    """Translate step data to {input, prediction, target, ...} for
+    summaries/output saving."""
+    raise NotImplementedError
+
+  def get_named_models(self):
+    raise NotImplementedError
+
+  def state_dict(self):
+    raise NotImplementedError
+
+  def load_state_dict(self, state_dict):
+    raise NotImplementedError
+
+  def predict(self, batch):
+    raise NotImplementedError
+
+  def epoch_beginning(self, epoch):
+    pass
+
+  def epoch_finished(self, epoch):
+    pass
+
+  # -- engine -----------------------------------------------------------------
+
+  def train_epoch(self, loader, epoch, summary_writer=None,
+                  steps_per_train_summary=1, verbose=False):
+    self.epoch = epoch
+    num_batches_per_epoch = len(loader)
+    epoch_loss_metrics = {}
+    epoch_metrics = {}
+
+    current_batch = 0
+    for batch in loader:
+      num_batches, loss_metrics, data = self._train_step(batch)
+      if num_batches == 0:
+        break
+      current_batch += num_batches
+
+      metrics = self._compute_train_metrics(data)
+      del data
+
+      for name, loss_metric in loss_metrics.items():
+        accumulate_metric(epoch_loss_metrics, name, loss_metric)
+      for name, metric in metrics.items():
+        accumulate_metric(epoch_metrics, name, metric)
+
+      global_step = num_batches_per_epoch * (epoch - 1) + current_batch
+      if current_batch % steps_per_train_summary == 0:
+        s = '===> Epoch[{}]({}/{}): '.format(epoch, current_batch,
+                                             num_batches_per_epoch)
+        s += ', '.join('{}: {}'.format(name, metric)
+                       for name, metric in loss_metrics.items())
+        if verbose:
+          s += '\n' + '\n'.join('     {}: {}'.format(name, metric)
+                                for name, metric in metrics.items())
+        logging.info(s)
+
+        if summary_writer is not None:
+          for name, metric in chain(loss_metrics.items(), metrics.items()):
+            summary_writer.add_scalar('train/{}'.format(name), metric.value,
+                                      global_step)
+
+    value_by_loss = {name: m.average()
+                     for name, m in epoch_loss_metrics.items()}
+    value_by_metric = {name: m.average() for name, m in epoch_metrics.items()}
+    return value_by_loss, value_by_metric
+
+  def validate(self, loader, num_batches_to_return=0):
+    epoch_data = []
+    epoch_loss_metrics = {}
+    epoch_metrics = {}
+
+    for batch in loader:
+      loss_metrics, data = self._val_step(batch)
+      if data is None:
+        break
+
+      if len(epoch_data) < num_batches_to_return:
+        epoch_data.append(host_fetch(data))
+
+      metrics = self._compute_test_metrics(data)
+      del data
+
+      for name, loss_metric in loss_metrics.items():
+        accumulate_metric(epoch_loss_metrics, name, loss_metric)
+      for name, metric in metrics.items():
+        accumulate_metric(epoch_metrics, name, metric)
+
+    value_by_loss = {name: m.average()
+                     for name, m in epoch_loss_metrics.items()}
+    value_by_metric = {name: m.average() for name, m in epoch_metrics.items()}
+    return epoch_data, value_by_loss, value_by_metric
+
+  def infer(self, loader):
+    epoch_data = []
+    for batch in loader:
+      _, data = self._val_step(batch, compute_metrics=False)
+      if data is None:
+        break
+      epoch_data.append(host_fetch(data))
+    return epoch_data
+
+  # -- helpers ----------------------------------------------------------------
+
+  @staticmethod
+  def _scalar(x):
+    return float(np.asarray(x))
+
+  @staticmethod
+  def _loss_weights(weights_by_criterion, *criteria_dicts):
+    """Per-criterion weight dict, default 1.0 (reference
+    base_runner.py:19-27 builds a vector; order-independence by name here)."""
+    weights = {}
+    for criteria in criteria_dicts:
+      for name in criteria:
+        weights[name] = float(weights_by_criterion.get(name, 1.0))
+    return weights
+
+  @staticmethod
+  def _device_put(batch):
+    return jax.tree_util.tree_map(jax.numpy.asarray, batch)

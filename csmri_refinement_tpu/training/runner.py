@@ -1,0 +1,300 @@
+"""Standard runner: single-model training as one jitted update step.
+
+Rebuild of /root/reference/training/runner.py:18-216. The eager
+forward → per-criterion losses → weighted sum → backward → step sequence
+(runner.py:154-178) becomes a single compiled XLA program
+``(state, batch, rng) → (state, losses, out)`` with `jax.value_and_grad`;
+model/optimizer state is a pytree, never mutated in place.
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+from flax.core import freeze, unfreeze
+
+from csmri_refinement_tpu.data.transform_wrappers import (
+    get_input_batch_transform, get_output_transform)
+from csmri_refinement_tpu.metrics import get_loss_metric, get_metric_fn
+from csmri_refinement_tpu.models import construct_model, get_input_keys
+from csmri_refinement_tpu.training.base_runner import BaseRunner
+from csmri_refinement_tpu.training.lr_schedulers import get_lr_scheduler
+from csmri_refinement_tpu.training.optimizers import (get_optimizer,
+                                                      set_learning_rate)
+from csmri_refinement_tpu.training.prep import get_batch_preparer
+from csmri_refinement_tpu.models.criteria import get_criterion
+from csmri_refinement_tpu.utils.checkpoints import resolve_pretrained_weights
+from csmri_refinement_tpu.utils.config import Configuration
+
+
+def build_runner(conf, mode='train'):
+  """Construct the standard runner from config (reference runner.py:18-76)."""
+  return Runner(conf, mode)
+
+
+class Runner(BaseRunner):
+  """Single input/output network with weighted multi-criterion loss."""
+
+  def __init__(self, conf, mode='train'):
+    super().__init__(conf, mode)
+    model_conf = Configuration.from_dict(conf.model, conf)
+    self.model_conf = model_conf
+    self.model = construct_model(model_conf, model_conf.name)
+    self.input_keys = get_input_keys(self.model)
+    self.has_train_arg = getattr(self.model, 'HAS_TRAIN_ARG', False)
+
+    self.val_metric_fns = {
+        name: get_metric_fn(conf, name, 'test')
+        for name in conf.get_attr('validation_metrics', default=[])}
+    self.output_transform = get_output_transform(conf, conf.application,
+                                                 'inference')
+    # Input batch transforms are a no-op in all shipped applications;
+    # hook retained for parity (reference transform_wrappers.py:107-124).
+    get_input_batch_transform(conf, conf.application, 'test')
+
+    self.preparer = get_batch_preparer(conf)
+    self.rng = jax.random.PRNGKey(conf.seed)
+    self.state = None  # lazy-initialized on first batch
+    self._pending_restore = None
+
+    if mode == 'train':
+      criteria = {}
+      if conf.has_attr('loss_name'):
+        criteria[conf.loss_name] = get_criterion(conf, conf.loss_name)
+      else:
+        for loss_name in conf.losses:
+          criteria[loss_name] = get_criterion(conf, loss_name)
+      assert len(criteria) > 0, \
+          'Need at least one loss to optimize something!'
+      self.criteria = criteria
+      self.loss_weights = self._loss_weights(
+          conf.get_attr('loss_weights', default={}), criteria)
+
+      opt_conf = Configuration.from_dict(conf.optimizer, conf)
+      self.tx, self.base_lr = get_optimizer(opt_conf, opt_conf.name)
+      self.lr_scheduler = None
+      if opt_conf.has_attr('lr_scheduler'):
+        self.lr_scheduler = get_lr_scheduler(opt_conf, opt_conf.lr_scheduler)
+
+      self.train_metric_fns = {
+          name: get_metric_fn(conf, name, 'train')
+          for name in conf.get_attr('train_metrics', default=[])}
+
+      self._train_step_fn = self._make_train_step()
+    else:
+      self.criteria = {}
+      self.train_metric_fns = {}
+      self.tx = None
+      self.lr_scheduler = None
+
+    self._val_step_fn = self._make_val_step()
+
+  # -- initialization ---------------------------------------------------------
+
+  def _model_inputs(self, batch):
+    return [batch[k] for k in self.input_keys]
+
+  def _ensure_initialized(self, batch):
+    if self.state is not None:
+      return
+    self.rng, init_rng = jax.random.split(self.rng)
+    variables = self.model.init(
+        {'params': init_rng, 'dropout': init_rng},
+        *self._model_inputs(batch),
+        **({'train': False} if self.has_train_arg else {}))
+    variables = unfreeze(variables)
+    params = variables.pop('params')
+    batch_stats = variables.pop('batch_stats', {})
+
+    self.state = {
+        'params': params,
+        'batch_stats': batch_stats,
+        'step': jnp.zeros((), jnp.int32),
+    }
+    if self.tx is not None:
+      self.state['opt_state'] = self.tx.init(params)
+
+    if self.model_conf.has_attr('pretrained_weights'):
+      pretrained = resolve_pretrained_weights(self.model_conf,
+                                              self.conf.file)
+      if pretrained is not None:
+        self.state['params'] = serialization.from_state_dict(
+            self.state['params'], pretrained['params'])
+        if pretrained.get('batch_stats'):
+          self.state['batch_stats'] = serialization.from_state_dict(
+              self.state['batch_stats'], pretrained['batch_stats'])
+
+    if self._pending_restore is not None:
+      self._apply_restore(self._pending_restore)
+      self._pending_restore = None
+
+  # -- jitted steps -----------------------------------------------------------
+
+  def _apply_model(self, params, batch_stats, batch, train, dropout_rng):
+    variables = {'params': params}
+    kwargs = {}
+    if batch_stats:
+      variables['batch_stats'] = batch_stats
+    if self.has_train_arg:
+      kwargs['train'] = train
+    mutable = ['batch_stats'] if (batch_stats and train) else False
+    rngs = {'dropout': dropout_rng} if dropout_rng is not None else None
+    out = self.model.apply(variables, *self._model_inputs(batch),
+                           mutable=mutable, rngs=rngs, **kwargs)
+    if mutable:
+      out, new_model_state = out
+      return out, new_model_state.get('batch_stats', {})
+    return out, batch_stats
+
+  def _make_train_step(self):
+    criteria = self.criteria
+    weights = self.loss_weights
+    tx_update = None  # bound lazily: tx.update needs opt_state structure
+
+    @jax.jit
+    def step(state, batch, rng):
+      def loss_fn(params):
+        out, new_bs = self._apply_model(params, state['batch_stats'],
+                                        batch, True, rng)
+        losses = {name: crit(out, batch) for name, crit in criteria.items()}
+        total = sum(weights[name] * loss for name, loss in losses.items())
+        return total, (losses, out, new_bs)
+
+      (total, (losses, out, new_bs)), grads = jax.value_and_grad(
+          loss_fn, has_aux=True)(state['params'])
+      updates, opt_state = self.tx.update(grads, state['opt_state'],
+                                          state['params'])
+      params = optax.apply_updates(state['params'], updates)
+      new_state = {
+          'params': params,
+          'batch_stats': new_bs,
+          'opt_state': opt_state,
+          'step': state['step'] + 1,
+      }
+      losses = dict(losses)
+      losses['loss'] = total
+      return new_state, losses, out
+
+    del tx_update
+    return step
+
+  def _make_val_step(self):
+    criteria = self.criteria
+
+    @jax.jit
+    def step(state, batch):
+      out, _ = self._apply_model(state['params'], state['batch_stats'],
+                                 batch, False, None)
+      losses = {name: crit(out, batch) for name, crit in criteria.items()}
+      return out, losses
+
+    return step
+
+  # -- BaseRunner hooks ---------------------------------------------------------
+
+  def _train_step(self, host_batch):
+    self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
+    batch = self.preparer.prepare_train(prep_rng, host_batch)
+    self._ensure_initialized(batch)
+
+    self.state, losses, out = self._train_step_fn(self.state, batch,
+                                                  step_rng)
+    loss_metrics = {'loss_' + name: get_loss_metric(self._scalar(value))
+                    for name, value in losses.items() if name != 'loss'}
+    loss_metrics['loss'] = get_loss_metric(self._scalar(losses['loss']))
+    return 1, loss_metrics, (batch, out)
+
+  def _val_step(self, host_batch, compute_metrics=True):
+    batch = self.preparer.prepare_val(host_batch)
+    self._ensure_initialized(batch)
+
+    out, losses = self._val_step_fn(self.state, batch)
+    loss_metrics = {}
+    if compute_metrics:
+      loss_metrics = {'loss_' + name: get_loss_metric(self._scalar(value))
+                      for name, value in losses.items()}
+    return loss_metrics, (batch, out)
+
+  def _compute_metrics(self, metric_fns, prediction, target):
+    return {name: fn(prediction, target)
+            for name, fn in metric_fns.items()}
+
+  def _compute_train_metrics(self, data):
+    batch, out = data
+    return self._compute_metrics(self.train_metric_fns, out, batch)
+
+  def _compute_test_metrics(self, data):
+    batch, out = data
+    return self._compute_metrics(self.val_metric_fns, out, batch)
+
+  def predict(self, batch):
+    batch = self._device_put(batch)
+    self._ensure_initialized(batch)
+    out, _ = self._apply_model(self.state['params'],
+                               self.state['batch_stats'], batch, False, None)
+    return out
+
+  # -- bookkeeping ---------------------------------------------------------------
+
+  def epoch_beginning(self, epoch):
+    if self.lr_scheduler is not None and self.state is not None:
+      set_learning_rate(self.state['opt_state'],
+                        self.lr_scheduler(epoch - 1))
+
+  def epoch_finished(self, epoch):
+    pass
+
+  def get_named_outputs(self, data):
+    batch, out_model = data
+    prediction = out_model['pred'] if isinstance(out_model, dict) \
+        else out_model
+    target = batch['target']
+    if self.output_transform is not None:
+      prediction, target = self.output_transform(prediction, target)
+    return {
+        'input': batch['inp'],
+        'prediction': prediction,
+        'target': target,
+    }
+
+  def get_named_models(self):
+    return {'model': self.model}
+
+  def state_dict(self):
+    assert self.state is not None, 'Runner state not initialized'
+    out = {
+        'model': {
+            'params': serialization.to_state_dict(self.state['params']),
+            'batch_stats': serialization.to_state_dict(
+                self.state['batch_stats']),
+        },
+        'step': int(self.state['step']),
+    }
+    if 'opt_state' in self.state:
+      out['optimizer'] = serialization.to_state_dict(
+          self.state['opt_state'])
+    return out
+
+  def load_state_dict(self, state_dict):
+    if self.state is None:
+      self._pending_restore = state_dict
+      return
+    self._apply_restore(state_dict)
+
+  def _apply_restore(self, state_dict):
+    self.state['params'] = serialization.from_state_dict(
+        self.state['params'], state_dict['model']['params'])
+    self.state['batch_stats'] = serialization.from_state_dict(
+        self.state['batch_stats'],
+        state_dict['model'].get('batch_stats', {}))
+    if 'step' in state_dict:
+      self.state['step'] = jnp.asarray(state_dict['step'], jnp.int32)
+    if 'optimizer' in state_dict and 'opt_state' in self.state:
+      self.state['opt_state'] = serialization.from_state_dict(
+          self.state['opt_state'], state_dict['optimizer'])
+    logging.debug('Restored runner state')
+
+  def __str__(self):
+    return 'Model:\n{}'.format(self.model)

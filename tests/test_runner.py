@@ -1,0 +1,138 @@
+"""End-to-end standard-runner tests: RecNet training on synthetic data.
+
+The JAX analogue of BASELINE.json config 1 (RecNet + MSE, CPU-runnable).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from csmri_refinement_tpu.data import DataLoader, load_dataset
+from csmri_refinement_tpu.training import build_runner
+from csmri_refinement_tpu.utils.config import Configuration
+
+
+def _conf(**overrides):
+  base = {
+      'seed': 0,
+      'train_dataset': 'Synthetic',
+      'validation_dataset': 'Synthetic',
+      'synthetic': {'image_size': 32, 'num_train': 8, 'num_val': 4},
+      'undersampling': {'sampling_scheme': 'varden',
+                        'acceleration_factor': 2,
+                        'variable_acceleration': False},
+      'runner_type': 'standard',
+      'application': 'reconstruction',
+      'model': {'name': 'RecNet', 'num_blocks': 2, 'num_convs': 2,
+                'num_filters': 8},
+      'loss_name': 'MSE',
+      'optimizer': {'name': 'Adam', 'learning_rate': 0.001},
+      'batch_size': 4,
+      'train_metrics': ['psnr'],
+      'validation_metrics': ['psnr', 'ssim'],
+  }
+  base.update(overrides)
+  return Configuration.from_dict(base)
+
+
+@pytest.fixture(scope='module')
+def trained():
+  conf = _conf()
+  runner = build_runner(conf, 'standard', 'train')
+  train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, conf.batch_size, shuffle=True, seed=0)
+  val_set = load_dataset(conf, '/tmp', 'Synthetic', 'val')
+  val_loader = DataLoader(val_set, 2)
+
+  # Validation masks are deterministic, so val metrics isolate model quality
+  # from mask randomness (train loss is noisy across random masks).
+  _, _, val_before = runner.validate(val_loader)
+  for epoch in range(1, 6):
+    losses, metrics = runner.train_epoch(loader, epoch,
+                                         steps_per_train_summary=100)
+  _, _, val_after = runner.validate(val_loader)
+  return conf, runner, val_before, losses, metrics, val_after
+
+
+def test_training_improves_val_psnr(trained):
+  _, _, val_before, _, _, val_after = trained
+  assert val_after['psnr'].value > val_before['psnr'].value
+
+
+def test_train_metrics_present(trained):
+  _, _, _, _, metrics, _ = trained
+  assert 'psnr' in metrics
+  assert np.isfinite(metrics['psnr'].value)
+
+
+def test_validation(trained):
+  conf, runner = trained[0], trained[1]
+  val_set = load_dataset(conf, '/tmp', 'Synthetic', 'val')
+  loader = DataLoader(val_set, 2)
+  epoch_data, val_losses, val_metrics = runner.validate(loader, 1)
+  assert 'loss_MSE' in val_losses
+  assert 'psnr' in val_metrics and 'ssim' in val_metrics
+  assert -1.0 <= val_metrics['ssim'].value <= 1.0
+  assert len(epoch_data) == 1
+  named = runner.get_named_outputs(epoch_data[0])
+  assert named['prediction'].shape == (2, 32, 32, 1)  # magnitude transform
+
+
+def test_validation_masks_are_fixed(trained):
+  """Same slice gets the same mask on every validation pass."""
+  conf, runner = trained[0], trained[1]
+  val_set = load_dataset(conf, '/tmp', 'Synthetic', 'val')
+  loader = DataLoader(val_set, 2)
+  batch = next(iter(loader))
+  prep1 = runner.preparer.prepare_val(batch)
+  prep2 = runner.preparer.prepare_val(batch)
+  np.testing.assert_array_equal(np.asarray(prep1['mask']),
+                                np.asarray(prep2['mask']))
+  # ...and differs across slices
+  assert not np.array_equal(np.asarray(prep1['mask'][0]),
+                            np.asarray(prep1['mask'][1]))
+
+
+def test_checkpoint_roundtrip(tmp_path, trained):
+  conf, runner = trained[0], trained[1]
+  from csmri_refinement_tpu.utils import checkpoints
+
+  path = str(tmp_path / 'chk.ckpt')
+  checkpoints.save_checkpoint(path, conf, runner, epoch=5,
+                              best_val_metrics={'psnr': 30.0})
+
+  runner2 = build_runner(_conf(), 'standard', 'train')
+  state = checkpoints.restore_checkpoint(path, runner2)
+  assert state['start_epoch'] == 5
+  assert state['best_val_metrics']['psnr'] == 30.0
+
+  # Predictions agree after restore
+  val_set = load_dataset(conf, '/tmp', 'Synthetic', 'val')
+  loader = DataLoader(val_set, 2)
+  batch = next(iter(loader))
+  prep = runner.preparer.prepare_val(batch)
+  out1 = np.asarray(runner.predict(prep))
+  out2 = np.asarray(runner2.predict(prep))
+  np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+
+def test_inference_mode_runner(trained):
+  conf, runner = trained[0], trained[1]
+  runner_test = build_runner(conf, 'standard', 'test')
+  val_set = load_dataset(conf, '/tmp', 'Synthetic', 'val')
+  loader = DataLoader(val_set, 2)
+  data = runner_test.infer(loader)
+  assert len(data) == 2  # 4 val images / batch 2
+
+
+def test_lr_scheduler_applies():
+  conf = _conf(optimizer={'name': 'Adam', 'learning_rate': 0.001,
+                          'lr_scheduler': 'multistep',
+                          'decay_steps': [1], 'decay_factor': 0.1})
+  runner = build_runner(conf, 'standard', 'train')
+  train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, 4)
+  runner.train_epoch(loader, 1)
+  runner.epoch_beginning(2)
+  from csmri_refinement_tpu.training.optimizers import get_learning_rate
+  assert abs(get_learning_rate(runner.state['opt_state']) - 0.0001) < 1e-9
