@@ -36,14 +36,40 @@ def _to_host(tree):
   return jax.tree_util.tree_map(convert, tree)
 
 
+def _encode_metrics(best_val_metrics):
+  """Best metrics → plain floats + direction tag (Metric objects carry
+  comparison direction; msgpack needs plain types)."""
+  from csmri_refinement_tpu.metrics.metric import Metric, MinMetric
+  out = {}
+  for name, value in (best_val_metrics or {}).items():
+    if isinstance(value, Metric):
+      out[name] = {'value': float(value.value),
+                   'direction': 'min' if isinstance(value, MinMetric)
+                   else 'max'}
+    else:
+      out[name] = {'value': float(value), 'direction': 'max'}
+  return out
+
+
+def _decode_metrics(encoded):
+  from csmri_refinement_tpu.metrics.metric import MaxMetric, MinMetric
+  out = {}
+  for name, entry in (encoded or {}).items():
+    if isinstance(entry, dict):
+      cls = MinMetric if entry.get('direction') == 'min' else MaxMetric
+      out[name] = cls(float(entry['value']))
+    else:
+      out[name] = MaxMetric(float(entry))
+  return out
+
+
 def save_checkpoint(path, conf, runner, epoch, best_val_metrics):
   """Serialize {conf, runner state, epoch, best metrics} to ``path``."""
   state = {
       'conf': conf.to_dict() if hasattr(conf, 'to_dict') else dict(conf),
       'runner': _to_host(runner.state_dict()),
       'epoch': int(epoch),
-      'best_val_metrics': {k: float(v) for k, v in
-                           (best_val_metrics or {}).items()},
+      'best_val_metrics': _encode_metrics(best_val_metrics),
   }
   data = serialization.msgpack_serialize(state)
   tmp_path = path + '.tmp'
@@ -67,7 +93,8 @@ def restore_checkpoint(checkpoint_path, runner):
   if 'epoch' in checkpoint:
     state['start_epoch'] = int(checkpoint['epoch'])
   if 'best_val_metrics' in checkpoint:
-    state['best_val_metrics'] = checkpoint['best_val_metrics']
+    state['best_val_metrics'] = _decode_metrics(
+        checkpoint['best_val_metrics'])
   return state
 
 

@@ -104,7 +104,7 @@ def test_checkpoint_roundtrip(tmp_path, trained):
   runner2 = build_runner(_conf(), 'standard', 'train')
   state = checkpoints.restore_checkpoint(path, runner2)
   assert state['start_epoch'] == 5
-  assert state['best_val_metrics']['psnr'] == 30.0
+  assert state['best_val_metrics']['psnr'].value == 30.0
 
   # Predictions agree after restore
   val_set = load_dataset(conf, '/tmp', 'Synthetic', 'val')
