@@ -1,0 +1,317 @@
+"""Configurable U-Net.
+
+Rebuild of /root/reference/models/unet.py:37-290 on NHWC:
+
+* encode path: per-scale ConvEncodeUnit (convs + BN + LeakyReLU, max-pool
+  downsample except last scale) (unet.py:37-67)
+* decode path: ConvDecodeUnit with six upsampling modes — ``transposed``,
+  ``nn``, ``bilinear``, ``pixelshuffle``, ``nn-resize-conv``,
+  ``nn-biresize-conv`` (unet.py:77-102) — skip-concat with pad-to-target
+  (unet.py:27-34,131-136), then plain decode units once encoder scales are
+  exhausted (unet.py:227-238)
+* ``decoder_act_upsampling_only``: BN+act on the upsample path only
+  (unet.py:106-120)
+* output head: 1×1 conv + softmax/tanh/none (unet.py:240-246); optional
+  residual ``use_refinement`` add (unet.py:280-281); optional indexed
+  encoder feature maps returned as dict (unet.py:283-288)
+* default init he_normal(0.1) for conv/transposed-conv, BN weight
+  uniform(0.98, 1.02) (unet.py:253-259)
+"""
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from csmri_refinement_tpu.models import weight_inits
+from csmri_refinement_tpu.models.layers import same_pad
+
+REQUIRED_PARAMS = [
+    'num_inputs', 'num_outputs', 'num_layers_per_scale',
+    'encode_filters', 'decode_filters', 'output_activation',
+]
+
+OPTIONAL_PARAMS = [
+    'kernel_size', 'transposed_kernel_size', 'relu_leakiness', 'use_bn',
+    'upsampling_mode', 'padding', 'encoder_features', 'use_refinement',
+    'decoder_act_upsampling_only', 'dtype',
+]
+
+DEFAULT_RELU_LEAKINESS = 0.1
+
+UPSAMPLING_MODES = ('transposed', 'nn', 'bilinear', 'pixelshuffle',
+                    'nn-resize-conv', 'nn-biresize-conv')
+
+
+def construct_model(conf, model_name, **kwargs):
+  params = conf.to_param_dict(REQUIRED_PARAMS, OPTIONAL_PARAMS)
+  user_init = weight_inits.normalize_user_init(
+      conf.get_attr('weight_init', default={}))
+  dtype = params.pop('dtype', None)
+  if isinstance(dtype, str):
+    dtype = jnp.dtype(dtype)
+  return UNET(weight_init=user_init, dtype=dtype, **params)
+
+
+def _pad_to_target(x, target, mode='reflect'):
+  """Pad bottom/right so x's spatial dims match target's (unet.py:27-34)."""
+  pad_bottom = target.shape[1] - x.shape[1]
+  pad_right = target.shape[2] - x.shape[2]
+  if pad_bottom != 0 or pad_right != 0:
+    x = jnp.pad(x, [(0, 0), (0, pad_bottom), (0, pad_right), (0, 0)],
+                mode=mode)
+  return x
+
+
+def _nearest_up2(x):
+  return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def _bilinear_up2(x):
+  b, h, w, c = x.shape
+  return jax.image.resize(x, (b, 2 * h, 2 * w, c), method='bilinear')
+
+
+def _pixel_shuffle(x, r=2):
+  """(B, H, W, r²·C) → (B, rH, rW, C)."""
+  b, h, w, c4 = x.shape
+  c = c4 // (r * r)
+  x = x.reshape(b, h, w, r, r, c)
+  x = x.transpose(0, 1, 3, 2, 4, 5)
+  return x.reshape(b, h * r, w * r, c)
+
+
+class ConvEncodeUnit(nn.Module):
+  in_channels: int  # informational; flax infers
+  num_layers: int
+  num_filters: int
+  kernel_size: int
+  relu_leakiness: float
+  use_bn: bool
+  downsample: bool
+  use_act: bool = True
+  padding: str = 'zero'
+  conv_init: Any = None
+  bias_init: Any = None
+  bn_init: Any = None
+  dtype: Any = None
+
+  @nn.compact
+  def __call__(self, inp, train=False):
+    x = inp
+    use_bias = not self.use_bn
+    for i in range(self.num_layers):
+      x = same_pad(x, self.kernel_size, stride=1, mode=self.padding)
+      x = nn.Conv(self.num_filters, (self.kernel_size, self.kernel_size),
+                  strides=1, padding='VALID', use_bias=use_bias,
+                  kernel_init=self.conv_init, bias_init=self.bias_init,
+                  dtype=self.dtype, name='conv_{}'.format(i))(x)
+      if self.use_bn:
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, scale_init=self.bn_init,
+                         dtype=self.dtype, name='bn_{}'.format(i))(x)
+      if self.use_act:
+        x = nn.leaky_relu(x, negative_slope=self.relu_leakiness)
+
+    if self.downsample:
+      pooled = nn.max_pool(x, (2, 2), strides=(2, 2))
+      return pooled, x
+    return x
+
+
+class ConvDecodeUnit(nn.Module):
+  in_channels: int
+  encoder_channels: int
+  num_filters: int
+  relu_leakiness: float
+  use_bn: bool
+  use_act: bool = True
+  kernel_size: int = 3
+  transposed_kernel_size: int = 2
+  num_layers: int = 0
+  mode: str = 'transposed'
+  padding: str = 'zero'
+  act_upsampling_only: bool = False
+  conv_init: Any = None
+  conv_transposed_init: Any = None
+  bias_init: Any = None
+  bn_init: Any = None
+  dtype: Any = None
+
+  @nn.compact
+  def __call__(self, decode_path, encode_path=None, train=False):
+    assert self.mode in UPSAMPLING_MODES
+    use_bias = not self.use_bn or self.encoder_channels == 0
+    x = decode_path
+    k = self.kernel_size
+
+    if self.mode == 'transposed':
+      x = nn.ConvTranspose(
+          self.num_filters,
+          (self.transposed_kernel_size, self.transposed_kernel_size),
+          strides=(2, 2), padding='VALID', use_bias=use_bias,
+          kernel_init=self.conv_transposed_init, bias_init=self.bias_init,
+          dtype=self.dtype, name='up_conv')(x)
+      # torch ConvTranspose2d with k=2, s=2, p=0 exactly doubles; flax
+      # VALID gives (2H + k - 2) — crop the overhang for k > 2.
+      if self.transposed_kernel_size > 2:
+        extra = self.transposed_kernel_size - 2
+        x = x[:, :x.shape[1] - extra, :x.shape[2] - extra, :]
+    elif self.mode == 'nn':
+      x = _nearest_up2(x)
+    elif self.mode == 'bilinear':
+      x = _bilinear_up2(x)
+    elif self.mode == 'pixelshuffle':
+      x = same_pad(x, k, stride=1, mode=self.padding)
+      x = nn.Conv(4 * self.num_filters, (k, k), strides=1, padding='VALID',
+                  use_bias=use_bias, kernel_init=self.conv_init,
+                  bias_init=self.bias_init, dtype=self.dtype,
+                  name='up_conv')(x)
+      x = _pixel_shuffle(x, 2)
+    else:  # nn-resize-conv / nn-biresize-conv
+      x = _nearest_up2(x) if self.mode == 'nn-resize-conv' \
+          else _bilinear_up2(x)
+      x = same_pad(x, k, stride=1, mode=self.padding)
+      x = nn.Conv(self.num_filters, (k, k), strides=1, padding='VALID',
+                  use_bias=use_bias, kernel_init=self.conv_init,
+                  bias_init=self.bias_init, dtype=self.dtype,
+                  name='up_conv')(x)
+
+    if self.act_upsampling_only:
+      if self.use_bn:
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, scale_init=self.bn_init,
+                         dtype=self.dtype, name='up_bn')(x)
+      if self.use_act:
+        x = nn.leaky_relu(x, negative_slope=self.relu_leakiness)
+
+    if encode_path is not None:
+      x = _pad_to_target(x, encode_path)
+      x = jnp.concatenate([encode_path, x], axis=-1)
+
+    if not self.act_upsampling_only:
+      if self.use_bn:
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, scale_init=self.bn_init,
+                         dtype=self.dtype, name='merge_bn')(x)
+      if self.use_act:
+        x = nn.leaky_relu(x, negative_slope=self.relu_leakiness)
+
+    if self.num_layers > 0:
+      x = ConvEncodeUnit(
+          x.shape[-1], self.num_layers, self.num_filters, k,
+          self.relu_leakiness, self.use_bn, downsample=False,
+          use_act=self.use_act, padding=self.padding,
+          conv_init=self.conv_init, bias_init=self.bias_init,
+          bn_init=self.bn_init, dtype=self.dtype,
+          name='decode')(x, train=train)
+    return x
+
+
+class UNET(nn.Module):
+  num_inputs: int
+  num_outputs: int
+  num_layers_per_scale: int
+  encode_filters: Sequence[int]
+  decode_filters: Sequence[int]
+  output_activation: str
+  kernel_size: int = 3
+  transposed_kernel_size: int = 2
+  relu_leakiness: Union[float, Tuple[float, float]] = DEFAULT_RELU_LEAKINESS
+  use_bn: bool = True
+  upsampling_mode: str = 'transposed'
+  padding: str = 'zero'
+  encoder_features: Optional[Sequence[int]] = None
+  use_refinement: bool = False
+  decoder_act_upsampling_only: bool = False
+  weight_init: Any = None
+  dtype: Any = None
+
+  INPUT_KEYS = ('inp',)
+  HAS_TRAIN_ARG = True
+
+  @nn.compact
+  def __call__(self, inp, train=False):
+    assert self.output_activation in ('softmax', 'tanh', 'none')
+    leakiness = self.relu_leakiness
+    if isinstance(leakiness, float):
+      leakiness = (leakiness, leakiness)
+
+    init_params = weight_inits.resolve_inits(
+        {'conv_weight': ('he_normal', DEFAULT_RELU_LEAKINESS),
+         'conv_transposed_weight': ('he_normal', DEFAULT_RELU_LEAKINESS),
+         'batchnorm_weight': ('uniform', 0.98, 1.02)},
+        self.weight_init)
+    conv_init, bias_init = weight_inits.kernel_and_bias(init_params, 'conv')
+    convt_init, _ = weight_inits.kernel_and_bias(init_params,
+                                                 'conv_transposed')
+    bn_init = weight_inits.get_initializer(init_params['batchnorm_weight'])
+
+    num_encode_units = len(self.encode_filters)
+    x = inp
+    encoder_features = []
+    encoder_last_feature = None
+    for scale, num_filters in enumerate(self.encode_filters):
+      downsample = scale != num_encode_units - 1
+      unit = ConvEncodeUnit(
+          x.shape[-1], self.num_layers_per_scale, num_filters,
+          self.kernel_size, leakiness[0], self.use_bn,
+          downsample=downsample, padding=self.padding,
+          conv_init=conv_init, bias_init=bias_init, bn_init=bn_init,
+          dtype=self.dtype, name='encode_{}'.format(scale))
+      if downsample:
+        x, features = unit(x, train=train)
+        encoder_features.append(features)
+      else:
+        x = unit(x, train=train)
+        encoder_last_feature = x
+
+    encode_channels = list(self.encode_filters)
+    for scale, num_filters in enumerate(
+        self.decode_filters[:num_encode_units - 1]):
+      num_encode_channels = encode_channels[-(scale + 2)]
+      unit = ConvDecodeUnit(
+          x.shape[-1], num_encode_channels, num_filters, leakiness[1],
+          self.use_bn, kernel_size=self.kernel_size,
+          transposed_kernel_size=self.transposed_kernel_size,
+          num_layers=self.num_layers_per_scale, mode=self.upsampling_mode,
+          padding=self.padding,
+          act_upsampling_only=self.decoder_act_upsampling_only,
+          conv_init=conv_init, conv_transposed_init=convt_init,
+          bias_init=bias_init, bn_init=bn_init, dtype=self.dtype,
+          name='decode_{}'.format(scale))
+      x = unit(x, encoder_features[-(scale + 1)], train=train)
+
+    for scale, num_filters in enumerate(
+        self.decode_filters[num_encode_units - 1:]):
+      unit = ConvDecodeUnit(
+          x.shape[-1], 0, num_filters, leakiness[1], self.use_bn,
+          kernel_size=self.kernel_size,
+          transposed_kernel_size=self.transposed_kernel_size,
+          num_layers=self.num_layers_per_scale, mode=self.upsampling_mode,
+          padding=self.padding,
+          act_upsampling_only=self.decoder_act_upsampling_only,
+          conv_init=conv_init, conv_transposed_init=convt_init,
+          bias_init=bias_init, bn_init=bn_init, dtype=self.dtype,
+          name='up_decode_{}'.format(scale))
+      x = unit(x, train=train)
+
+    pred = nn.Conv(self.num_outputs, (1, 1), strides=1, padding='VALID',
+                   use_bias=True, kernel_init=conv_init,
+                   bias_init=bias_init, dtype=self.dtype, name='head')(x)
+    if self.output_activation == 'softmax':
+      pred = nn.softmax(pred, axis=-1)
+    elif self.output_activation == 'tanh':
+      pred = nn.tanh(pred)
+
+    if self.use_refinement:
+      pred = inp + pred
+
+    if self.encoder_features is not None:
+      encoded = encoder_features + [encoder_last_feature]
+      return {
+          'pred': pred,
+          'features': [encoded[idx] for idx in self.encoder_features],
+      }
+    return pred

@@ -1,0 +1,143 @@
+"""VGG19 feature extractor for perceptual losses.
+
+Rebuild of /root/reference/models/vgg.py:8-80: the torchvision VGG19
+``features`` stack sliced into ≤6 blocks, each ending right before a
+max-pool (the pool opens the next block, vgg.py:37-43), with ImageNet
+mean/std input normalization (vgg.py:48-54, 68-72).
+
+Weight provenance: torchvision downloads ImageNet weights at construction
+(vgg.py:35); this environment has no torchvision/egress, so weights load
+from a local file when configured (``vgg_weights_path``: either an .npz of
+``features.{i}.weight/bias`` arrays or a torch-loadable state dict, OIHW
+kernels converted to HWIO) and otherwise fall back to a deterministic
+random init with a warning — the loss stays trainable/testable, only
+perceptual quality needs the real weights.
+"""
+
+import logging
+import os
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision vgg19 cfg 'E' conv plan; 'M' = max-pool
+_CFG = [64, 64, 'M', 128, 128, 'M', 256, 256, 256, 256, 'M',
+        512, 512, 512, 512, 'M', 512, 512, 512, 512, 'M']
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+LAST_FEATURE_MAP = 4  # default block index (vgg.py:11)
+
+
+class VGG19(nn.Module):
+  """Returns the requested block outputs for a (B, H, W, 3) input in (0,1)."""
+  output_blocks: Sequence[int] = (LAST_FEATURE_MAP,)
+  dtype: Any = None
+
+  LAST_FEATURE_MAP = LAST_FEATURE_MAP
+
+  @nn.compact
+  def __call__(self, inp):
+    output_blocks = sorted(self.output_blocks)
+    assert len(output_blocks) >= 1, 'Need at least one output block'
+    last_needed_block = output_blocks[-1]
+    assert last_needed_block <= 5, 'VGG19 has at most 6 blocks'
+
+    mean = jnp.asarray(_IMAGENET_MEAN).reshape(1, 1, 1, 3)
+    std = jnp.asarray(_IMAGENET_STD).reshape(1, 1, 1, 3)
+    x = (inp - mean) / std
+
+    out = []
+    block_idx = 0
+    conv_idx = 0
+    for item in _CFG:
+      if item == 'M':
+        # A max-pool closes the current block (its output is x pre-pool)
+        if block_idx in output_blocks:
+          out.append(x)
+        if block_idx == last_needed_block:
+          break
+        block_idx += 1
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+      else:
+        x = nn.Conv(item, (3, 3), strides=1, padding=1,
+                    dtype=self.dtype, name='conv_{}'.format(conv_idx))(x)
+        x = nn.relu(x)
+        conv_idx += 1
+
+    # Block 5 is the pool-only block after the final conv (vgg.py:24-26)
+    if last_needed_block == 5 and 5 in output_blocks:
+      out.append(x)
+
+    return out
+
+
+def load_vgg19_params(weights_path=None, conf_path=None, rng_seed=0):
+  """Initialize VGG19 params, from a weights file when available.
+
+  Returns a flax params dict for :class:`VGG19`.
+  """
+  module = VGG19(output_blocks=(5,))
+  dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+  params = module.init(jax.random.PRNGKey(rng_seed), dummy)['params']
+
+  if weights_path is None:
+    logging.warning(
+        'VGG19: no pretrained weights configured (set "vgg_weights_path"); '
+        'using deterministic random init — perceptual loss is functional '
+        'but not ImageNet-calibrated')
+    return params
+
+  if not os.path.isabs(weights_path) and conf_path:
+    weights_path = os.path.join(os.path.dirname(conf_path), weights_path)
+
+  raw = _load_torch_style_weights(weights_path)
+  conv_idx = 0
+  new_params = dict(params)
+  for layer_i, item in enumerate(_CFG):
+    if item == 'M':
+      continue
+    w_key = 'features.{}.weight'.format(_torch_layer_index(conv_idx))
+    b_key = 'features.{}.bias'.format(_torch_layer_index(conv_idx))
+    if w_key not in raw:
+      raise ValueError('Missing {} in VGG weights file'.format(w_key))
+    w = np.asarray(raw[w_key])  # OIHW
+    b = np.asarray(raw[b_key])
+    name = 'conv_{}'.format(conv_idx)
+    new_params[name] = {
+        'kernel': jnp.asarray(np.transpose(w, (2, 3, 1, 0))),  # → HWIO
+        'bias': jnp.asarray(b),
+    }
+    conv_idx += 1
+  logging.info('Loaded VGG19 weights from %s', weights_path)
+  return new_params
+
+
+def _torch_layer_index(conv_idx):
+  """Map conv counter → torchvision features index (convs at 0,2,5,7,...)."""
+  idx = 0
+  count = 0
+  for item in _CFG:
+    if item == 'M':
+      idx += 1
+      continue
+    if count == conv_idx:
+      return idx
+    idx += 2  # conv + relu
+    count += 1
+  raise ValueError(conv_idx)
+
+
+def _load_torch_style_weights(path):
+  if path.endswith('.npz'):
+    return dict(np.load(path))
+  import torch
+  state = torch.load(path, map_location='cpu', weights_only=True)
+  if hasattr(state, 'state_dict'):
+    state = state.state_dict()
+  return {k: v.numpy() for k, v in state.items()
+          if k.startswith('features.')}

@@ -32,9 +32,12 @@ class BaseRunner:
 
   # -- subclass hooks ---------------------------------------------------------
 
-  def _train_step(self, batch):
-    """Run one (or more) update(s); returns (num_batches, loss_metrics,
-    data) where data is consumed by _compute_train_metrics."""
+  def _train_step(self, batch_iter):
+    """Consume one or more batches from ``batch_iter`` and run update(s);
+    returns (num_batches_consumed, loss_metrics, data) where data is
+    consumed by _compute_train_metrics. Mirrors the reference's
+    _request_data pull model (base_runner.py:29-41), which lets the
+    adversarial runner train multiple updates per step."""
     raise NotImplementedError
 
   def _val_step(self, batch, compute_metrics=True):
@@ -79,8 +82,9 @@ class BaseRunner:
     epoch_metrics = {}
 
     current_batch = 0
-    for batch in loader:
-      num_batches, loss_metrics, data = self._train_step(batch)
+    batch_iter = iter(loader)
+    while current_batch < num_batches_per_epoch:
+      num_batches, loss_metrics, data = self._train_step(batch_iter)
       if num_batches == 0:
         break
       current_batch += num_batches

@@ -24,8 +24,9 @@ from csmri_refinement_tpu.training.lr_schedulers import get_lr_scheduler
 from csmri_refinement_tpu.training.optimizers import (get_optimizer,
                                                       set_learning_rate)
 from csmri_refinement_tpu.training.prep import get_batch_preparer
+from csmri_refinement_tpu.training.model_setup import (
+    apply_pretrained_weights)
 from csmri_refinement_tpu.models.criteria import get_criterion
-from csmri_refinement_tpu.utils.checkpoints import resolve_pretrained_weights
 from csmri_refinement_tpu.utils.config import Configuration
 
 
@@ -116,15 +117,10 @@ class Runner(BaseRunner):
     if self.tx is not None:
       self.state['opt_state'] = self.tx.init(params)
 
-    if self.model_conf.has_attr('pretrained_weights'):
-      pretrained = resolve_pretrained_weights(self.model_conf,
-                                              self.conf.file)
-      if pretrained is not None:
-        self.state['params'] = serialization.from_state_dict(
-            self.state['params'], pretrained['params'])
-        if pretrained.get('batch_stats'):
-          self.state['batch_stats'] = serialization.from_state_dict(
-              self.state['batch_stats'], pretrained['batch_stats'])
+    apply_pretrained_weights(self.state, self.model_conf, self.conf.file)
+    if self.tx is not None:
+      # Re-init optimizer state over the (possibly grafted) params
+      self.state['opt_state'] = self.tx.init(self.state['params'])
 
     if self._pending_restore is not None:
       self._apply_restore(self._pending_restore)
@@ -194,7 +190,10 @@ class Runner(BaseRunner):
 
   # -- BaseRunner hooks ---------------------------------------------------------
 
-  def _train_step(self, host_batch):
+  def _train_step(self, batch_iter):
+    host_batch = next(batch_iter, None)
+    if host_batch is None:
+      return 0, None, None
     self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
     batch = self.preparer.prepare_train(prep_rng, host_batch)
     self._ensure_initialized(batch)
