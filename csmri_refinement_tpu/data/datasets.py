@@ -58,13 +58,17 @@ class SliceDataset:
 
   def __init__(self, images, labels, image_ids, mode='reconstruction',
                image_size=IMAGE_SIZE, downscale=1, augmentation=None,
-               seed=0, name='SliceDataset'):
+               seed=0, name='SliceDataset', include_labels=False):
     assert mode in ('reconstruction', 'segmentation')
     self.images = images
     self.labels = labels
     self.image_ids = image_ids
     self.mode = mode
     self.name = name
+    # include_labels: attach the (un-augmented) label to reconstruction
+    # items, enabling validation-time SegmentationScore
+    self.include_labels = include_labels and labels is not None
+    self.downscale = downscale
     rng = np.random.RandomState(seed)
     if mode == 'reconstruction':
       self.transform = RecHostTransform(image_size, downscale,
@@ -80,7 +84,11 @@ class SliceDataset:
     image = self.images[index]
     if self.mode == 'reconstruction':
       gt = self.transform(image)
-      return {'gt': gt, 'index': np.int32(index)}
+      item = {'gt': gt, 'index': np.int32(index)}
+      if self.include_labels:
+        label = self.labels[index][::self.downscale, ::self.downscale]
+        item['label'] = np.round(label).astype(np.int64)
+      return item
     label = self.labels[index]
     gt, label = self.transform(image, label)
     inp = np.stack([gt, np.zeros_like(gt)], axis=-1)
@@ -157,7 +165,8 @@ def _build_scarseg(conf, data_dir, fold):
   return SliceDataset(
       images, labels, image_ids, mode=mode, image_size=IMAGE_SIZE,
       downscale=conf.get_attr('downscale', default=1),
-      augmentation=augmentation, seed=conf.seed, name='ScarSeg')
+      augmentation=augmentation, seed=conf.seed, name='ScarSeg',
+      include_labels=conf.get_attr('include_labels', default=False))
 
 
 # ---------------------------------------------------------------------------
@@ -213,7 +222,9 @@ def _build_synthetic(conf, data_dir, fold):
                       image_size=size,
                       downscale=conf.get_attr('downscale', default=1),
                       augmentation=augmentation, seed=conf.seed,
-                      name='Synthetic')
+                      name='Synthetic',
+                      include_labels=conf.get_attr('include_labels',
+                                                   default=False))
 
 
 _DATASET_BUILDERS = {

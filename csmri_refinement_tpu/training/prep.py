@@ -71,27 +71,37 @@ class RecBatchPreparer:
           centred=False, rng=rng)[0]
     return self._radial_val_masks[index]
 
+  @staticmethod
+  def _passthrough(batch, host_batch):
+    # Side-channel keys (labels for SIS, indices) ride along untouched
+    for key in ('label', 'index'):
+      if key in host_batch:
+        batch[key] = jnp.asarray(host_batch[key])
+    return batch
+
   def prepare_train(self, rng, host_batch):
     gt = jnp.asarray(host_batch['gt'])
     if self._train_fn is not None:
-      return self._train_fn(rng, gt)
+      return self._passthrough(dict(self._train_fn(rng, gt)), host_batch)
     # Radial: host mask generation (data independent), device undersampling
     seed = int(jax.random.randint(rng, (), 0, 2 ** 31 - 1))
     mask = mask_ops.get_mask_generator_np(
         self.scheme, gt.shape, self.acc, self.variable,
         rng=np.random.RandomState(seed))()
-    return self._fixed_fn(rng, gt, jnp.asarray(mask, dtype=jnp.float32))
+    batch = self._fixed_fn(rng, gt, jnp.asarray(mask, dtype=jnp.float32))
+    return self._passthrough(dict(batch), host_batch)
 
   def prepare_val(self, host_batch):
     gt = jnp.asarray(host_batch['gt'])
     indices = jnp.asarray(host_batch['index'])
     if self._val_fn is not None:
-      return self._val_fn(gt, indices)
+      return self._passthrough(dict(self._val_fn(gt, indices)), host_batch)
     b, h, w = gt.shape
     mask = np.stack([self._radial_mask_for_index(int(i), h, w)
                      for i in np.asarray(indices)])
-    return self._fixed_fn(self._val_base_key, gt,
-                          jnp.asarray(mask, dtype=jnp.float32))
+    batch = self._fixed_fn(self._val_base_key, gt,
+                           jnp.asarray(mask, dtype=jnp.float32))
+    return self._passthrough(dict(batch), host_batch)
 
 
 class SegBatchPreparer:

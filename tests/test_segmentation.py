@@ -1,0 +1,196 @@
+"""Segmentation training + SegmentationScore (SIS) + offline statistics."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from csmri_refinement_tpu.data import DataLoader, load_dataset
+from csmri_refinement_tpu.training import build_runner
+from csmri_refinement_tpu.utils import checkpoints
+from csmri_refinement_tpu.utils.config import Configuration
+
+
+def _seg_conf(**overrides):
+  base = {
+      'seed': 0,
+      'train_dataset': 'Synthetic',
+      'validation_dataset': 'Synthetic',
+      'synthetic': {'image_size': 32, 'num_train': 16, 'num_val': 4},
+      'dataset_mode': 'segmentation',
+      'undersampling': {'sampling_scheme': 'varden',
+                        'acceleration_factor': 8,
+                        'variable_acceleration': False},
+      'runner_type': 'standard',
+      'application': 'segmentation',
+      'model': {'name': 'UNET', 'num_inputs': 2, 'num_outputs': 2,
+                'num_layers_per_scale': 1, 'encode_filters': [8, 16],
+                'decode_filters': [8], 'use_bn': True,
+                'upsampling_mode': 'pixelshuffle', 'padding': 'reflection',
+                'output_activation': 'none'},
+      'loss_name': 'CrossEntropy',
+      'optimizer': {'name': 'Adam', 'learning_rate': 0.001},
+      'batch_size': 8,
+      'train_metrics': ['dice_class_0', 'dice_class_1'],
+      'validation_metrics': ['dice_class_0', 'dice_class_1'],
+  }
+  base.update(overrides)
+  return Configuration.from_dict(base)
+
+
+@pytest.fixture(scope='module')
+def seg_checkpoint(tmp_path_factory):
+  conf = _seg_conf()
+  runner = build_runner(conf, 'standard', 'train')
+  train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, conf.batch_size, shuffle=True)
+  for epoch in range(1, 9):
+    losses, metrics = runner.train_epoch(loader, epoch,
+                                         steps_per_train_summary=100)
+  path = str(tmp_path_factory.mktemp('seg') / 'seg.ckpt')
+  checkpoints.save_checkpoint(path, conf, runner, 8, {})
+  return conf, runner, losses, metrics, path
+
+
+def test_segmentation_training(seg_checkpoint):
+  conf, runner, losses, metrics, _ = seg_checkpoint
+  assert 'loss_CrossEntropy' in losses
+  assert 'dice_class_0' in metrics and 'dice_class_1' in metrics
+  # Background dice should become reasonable quickly on phantoms
+  assert metrics['dice_class_0'].value > 0.6
+
+
+def test_segmentation_validation_output_transform(seg_checkpoint):
+  conf, runner, _, _, _ = seg_checkpoint
+  val_set = load_dataset(conf, '/tmp', 'Synthetic', 'val')
+  loader = DataLoader(val_set, 2)
+  data, _, val_metrics = runner.validate(loader, 1)
+  assert 'dice_class_1' in val_metrics
+  named = runner.get_named_outputs(data[0])
+  # Output transform: argmax class map with channel dim
+  assert named['prediction'].shape == (2, 32, 32, 1)
+  classes = np.unique(np.asarray(named['prediction']))
+  assert set(classes.tolist()) <= {0, 1}
+
+
+def test_segmentation_score_metric(seg_checkpoint):
+  conf, _, _, _, ckpt_path = seg_checkpoint
+  from csmri_refinement_tpu.metrics.segmentation_score import (
+      SegmentationScore)
+  model_conf = Configuration.from_dict(dict(conf.model,
+                                            pretrained_weights=[ckpt_path,
+                                                                'model']))
+  score = SegmentationScore(model_conf, None, class_idx=1)
+
+  val_set = load_dataset(_seg_conf(), '/tmp', 'Synthetic', 'val')
+  item = val_set[0]
+  pred = item['inp'][None]  # GT reconstruction through the frozen net
+  target = item['target'][None]
+  value = score(pred, target)
+  assert 0.0 <= value <= 1.0
+
+  # skip_empty_images returns None when no class pixel present
+  score_skip = SegmentationScore(model_conf, None, class_idx=1,
+                                 skip_empty_images=True)
+  empty_target = np.zeros_like(target)
+  assert score_skip(pred, empty_target) is None
+
+
+def test_segmentation_score_via_metric_registry(seg_checkpoint):
+  """segmentation_score usable as a validation metric with include_labels."""
+  conf, _, _, _, ckpt_path = seg_checkpoint
+  rec_conf = Configuration.from_dict({
+      'seed': 0,
+      'train_dataset': 'Synthetic', 'validation_dataset': 'Synthetic',
+      'synthetic': {'image_size': 32, 'num_train': 8, 'num_val': 4},
+      'include_labels': True,
+      'undersampling': {'sampling_scheme': 'varden',
+                        'acceleration_factor': 2},
+      'runner_type': 'standard', 'application': 'reconstruction',
+      'model': {'name': 'RecNet', 'num_blocks': 1, 'num_convs': 2,
+                'num_filters': 4},
+      'loss_name': 'MSE',
+      'optimizer': {'name': 'Adam', 'learning_rate': 0.001},
+      'batch_size': 4,
+      'validation_metrics': ['psnr', 'segmentation_score'],
+      'segmentation_score_metric': {
+          'model': dict(conf.model, pretrained_weights=[ckpt_path, 'model']),
+          'class': 1,
+          'target_key': 'label',
+          'transform': 'none',
+      },
+  })
+  runner = build_runner(rec_conf, 'standard', 'train')
+  val_set = load_dataset(rec_conf, '/tmp', 'Synthetic', 'val')
+  loader = DataLoader(val_set, 2)
+  _, _, val_metrics = runner.validate(loader)
+  assert 'segmentation_score' in val_metrics
+  assert 0.0 <= val_metrics['segmentation_score'].value <= 1.0
+
+
+def test_offline_statistics():
+  from csmri_refinement_tpu.data import statistics as stats
+  rng = np.random.RandomState(0)
+  target = rng.rand(32, 32).astype(np.float32)
+  pred = np.clip(target + 0.05 * rng.randn(32, 32).astype(np.float32), 0, 1)
+
+  p = stats.psnr(target, pred, data_range=target.max())
+  assert 15 < p < 40
+  s = stats.ssim_gaussian(target, pred, data_range=target.max())
+  assert 0.2 < s < 1.0
+  # identical images → ssim 1
+  assert stats.ssim_gaussian(target, target, data_range=1.0) > 0.999
+
+  dataset = [{'case': 'c01_pre', 'slice': i,
+              'pred': pred[..., None], 'target': target[..., None],
+              'label': (target > 0.5).astype(np.int64),
+              'tlabel': (target > 0.5).astype(np.int64)}
+             for i in range(3)]
+  psnr_series = stats.compute_psnr(dataset)
+  assert len(psnr_series) == 3
+  ssim_series = stats.compute_ssim(dataset)
+  assert np.all(ssim_series.values > 0)
+  dice_series = stats.compute_dice_scores(dataset, num_classes=2)
+  assert np.allclose(dice_series[1].values, 1.0)
+
+
+def test_mat_roundtrip_and_case_dataset(tmp_path):
+  from csmri_refinement_tpu.data import io_mat
+  from csmri_refinement_tpu.data.datasets import SliceDataset
+
+  class FakeDS:
+    get_case_and_slice = staticmethod(SliceDataset.get_case_and_slice)
+
+  rng = np.random.RandomState(0)
+  arr = rng.rand(1, 8, 8, 2).astype(np.float32)
+  path = str(tmp_path / 'c01_pre_slice00.mat')
+  io_mat.save_raw(path, 'c01_pre_slice00', arr, arr, arr, FakeDS())
+
+  data = io_mat.load_from_raw(path)
+  assert data['case'] == 'c01_pre'
+  assert data['slice'] == 0
+  np.testing.assert_allclose(data['pred'], arr[0], atol=1e-6)
+
+  cases = io_mat.CaseDataset([data])
+  assert cases.get_data('c01_pre', 0) is data
+  vols = list(cases.volume_iter())
+  assert vols[0]['pred'].shape == (1, 8, 8, 2)
+
+
+def test_summarize_results_cli(tmp_path, capsys):
+  import summarize_results
+  import pandas as pd
+  df = pd.DataFrame({'psnr': [30.0, 31.0, 32.0],
+                     'name': ['a', 'b', 'c']})
+  csv1 = str(tmp_path / 'scarseg_runA_2020.csv')
+  df.to_csv(csv1)
+  df2 = pd.DataFrame({'psnr': [28.0, 29.0, 30.0],
+                      'name': ['a', 'b', 'c']})
+  csv2 = str(tmp_path / 'scarseg_runB_2020.csv')
+  df2.to_csv(csv2)
+
+  summarize_results.main(['--metric-name', 'psnr', csv1, csv2])
+  out = capsys.readouterr().out
+  assert '31.00' in out
+  assert '29.00' in out
