@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark: RecNet cascade + refinement inference throughput.
+
+Measures 256×256 reconstruction slices/sec/chip for the flagship pipeline
+(RecNet(3×3×32) + refinement U-Net wrapper, the configs/1+2 recipe) against
+the BASELINE.json north-star target of ≥5,000 slices/sec/chip on TPU v5e.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET = 5000.0  # slices/sec/chip (BASELINE.json north star)
+
+
+def build_forward(image_size, dtype_str):
+  import jax
+  import jax.numpy as jnp
+  from csmri_refinement_tpu.models.recnet import RecNet
+  from csmri_refinement_tpu.models.unet import UNET
+  from csmri_refinement_tpu.models.refinement_wrapper import (
+      RefinementWrapper)
+  import csmri_refinement_tpu.ops.undersample as us_ops
+
+  dtype = jnp.bfloat16 if dtype_str == 'bf16' else None
+
+  pretrained = RecNet(num_blocks=3, num_convs=3, num_filters=32, dtype=dtype)
+  learnable = UNET(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
+                   encode_filters=[32, 64, 128], decode_filters=[64, 32],
+                   kernel_size=4, upsampling_mode='nn-resize-conv',
+                   output_activation='none', padding='reflection',
+                   decoder_act_upsampling_only=True, dtype=dtype)
+  model = RefinementWrapper(pretrained_model=pretrained,
+                            learnable_model=learnable,
+                            mode='real-penalty-add', input_mode='output')
+
+  # NOTE: everything runs jitted — remote-compile TPU backends (axon) do
+  # not support eager op dispatch.
+  @jax.jit
+  def make_batch(key, batch_size_gt):
+    gt = jax.random.uniform(key, batch_size_gt.shape)
+    return us_ops.undersample_batch(key, gt, 'varden', 8)
+
+  def batch_for(batch_size):
+    shape_token = jnp.zeros((batch_size, image_size, image_size))
+    return make_batch(jax.random.PRNGKey(0), shape_token)
+
+  batch = batch_for(2)
+  variables = jax.jit(lambda i, k, m: model.init(
+      jax.random.PRNGKey(2), i, k, m))(batch['inp'], batch['kspace'],
+                                       batch['mask'])
+
+  @jax.jit
+  def forward(variables, inp, kspace, mask):
+    out = model.apply(variables, inp, kspace, mask)
+    return out['pred']
+
+  return forward, variables, batch_for
+
+
+def run_bench(batch_size, image_size, iters, warmup, dtype_str):
+  import functools
+  import jax
+  import jax.numpy as jnp
+
+  forward, variables, batch_for = build_forward(image_size, dtype_str)
+
+  batch = batch_for(batch_size)
+  args = (batch['inp'], batch['kspace'], batch['mask'])
+
+  # The measurement loop is a single compiled lax.scan whose iterations are
+  # data-dependent (each consumes the previous reconstruction), ending in a
+  # scalar reduce fetched to host. This is robust against the tunneled TPU
+  # backend's lazy dispatch: block_until_ready alone does not guarantee
+  # execution there, and independent unfetched dispatches could be elided.
+  @functools.partial(jax.jit, static_argnames='n')
+  def bench_loop(variables, inp, kspace, mask, n):
+    def body(x, _):
+      pred = forward(variables, x, kspace, mask)
+      return pred.astype(inp.dtype), None
+    out, _ = jax.lax.scan(body, inp, None, length=n)
+    return jnp.sum(out.astype(jnp.float32))
+
+  # Compile both scan variants before timing anything
+  val = float(bench_loop(variables, *args, n=warmup))
+  assert val == val, 'NaN benchmark output'
+  float(bench_loop(variables, *args, n=warmup + iters))
+
+  start = time.perf_counter()
+  val = float(bench_loop(variables, *args, n=warmup))
+  base = time.perf_counter() - start
+
+  start = time.perf_counter()
+  val = float(bench_loop(variables, *args, n=warmup + iters))
+  elapsed = time.perf_counter() - start
+
+  # Subtract the fixed dispatch/fetch overhead measured by the warm run
+  return batch_size * iters / max(elapsed - base, 1e-9)
+
+
+def main(argv):
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--batch-size', type=int, default=128)
+  parser.add_argument('--image-size', type=int, default=256)
+  parser.add_argument('--iters', type=int, default=20)
+  parser.add_argument('--warmup', type=int, default=3)
+  parser.add_argument('--dtype', default='bf16', choices=['f32', 'bf16'])
+  parser.add_argument('--platform', default=None, choices=['cpu', 'tpu'])
+  args = parser.parse_args(argv)
+
+  if args.platform:
+    import jax
+    jax.config.update('jax_platforms', args.platform)
+
+  slices_per_sec = run_bench(args.batch_size, args.image_size, args.iters,
+                             args.warmup, args.dtype)
+
+  print(json.dumps({
+      'metric': '256x256 recon slices/sec/chip (cascade+refine inference, '
+                '{} compute)'.format(args.dtype),
+      'value': round(slices_per_sec, 1),
+      'unit': 'slices/s',
+      'vs_baseline': round(slices_per_sec / TARGET, 3),
+  }))
+
+
+if __name__ == '__main__':
+  main(sys.argv[1:])

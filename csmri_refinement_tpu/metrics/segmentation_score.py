@@ -44,8 +44,8 @@ class SegmentationScore:
   def _ensure_initialized(self, prediction):
     if self.state is not None:
       return
-    variables = self.model.init(
-        {'params': jax.random.PRNGKey(0)}, prediction, train=False)
+    variables = jax.jit(lambda x: self.model.init(
+        {'params': jax.random.PRNGKey(0)}, x, train=False))(prediction)
     from flax.core import unfreeze
     variables = unfreeze(variables)
     self.state = {

@@ -26,7 +26,52 @@ Layout conventions (TPU-first, channel-last):
   myImageTransformations.py:935-954)
 """
 
+import functools
+import os
+
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+# FFT backend selection: XLA's FFT HLO is exact and fast on CPU, but on TPU
+# the MXU has no FFT unit — XLA's decomposition is slow to compile and run
+# for batched 2D transforms. For the image sizes this framework works at
+# (≤512), an explicit ortho DFT as two complex matmuls per axis runs on the
+# MXU at full throughput and is the faster lowering by a wide margin
+# (measured on v5e). Gradients remain exact: the DFT matrix is a constant,
+# autodiff differentiates the matmuls.
+#   auto (default): matmul-DFT on TPU-like backends, native FFT on CPU/GPU
+#   CSMRI_TPU_FFT=xla|dft overrides.
+_FFT_MODE = os.environ.get('CSMRI_TPU_FFT', 'auto')
+
+
+def _use_dft():
+  if _FFT_MODE == 'dft':
+    return True
+  if _FFT_MODE == 'xla':
+    return False
+  return jax.default_backend() not in ('cpu', 'gpu', 'cuda', 'rocm')
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_matrix_np(n, inverse):
+  """Unitary (ortho) DFT matrix of size n (host constant; cached as numpy
+  so no traced values leak across jit scopes)."""
+  mat = np.fft.fft(np.eye(n)) / np.sqrt(n)
+  if inverse:
+    mat = np.conj(mat)
+  return mat.astype(np.complex64)
+
+
+def _dft2(x, inverse):
+  """Ortho 2D (i)DFT over the last two axes via MXU matmuls."""
+  n_h, n_w = x.shape[-2], x.shape[-1]
+  f_h = jnp.asarray(_dft_matrix_np(n_h, inverse))
+  f_w = jnp.asarray(_dft_matrix_np(n_w, inverse))
+  # rows: F_h @ x ; cols: x @ F_w (F is symmetric, no transpose needed)
+  x = jnp.einsum('hk,...kw->...hw', f_h, x, precision='highest')
+  x = jnp.einsum('...hw,wl->...hl', x, f_w, precision='highest')
+  return x
 
 
 def pack_complex(x):
@@ -48,11 +93,15 @@ def unpack_complex(x):
 
 def fft2(x):
   """Ortho-normalized, unshifted 2D FFT over the last two axes."""
+  if _use_dft():
+    return _dft2(x.astype(jnp.complex64), inverse=False)
   return jnp.fft.fft2(x, axes=(-2, -1), norm='ortho')
 
 
 def ifft2(x):
   """Ortho-normalized, unshifted 2D inverse FFT over the last two axes."""
+  if _use_dft():
+    return _dft2(x.astype(jnp.complex64), inverse=True)
   return jnp.fft.ifft2(x, axes=(-2, -1), norm='ortho')
 
 

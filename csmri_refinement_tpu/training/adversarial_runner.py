@@ -49,6 +49,8 @@ from csmri_refinement_tpu.training.model_setup import (
 from csmri_refinement_tpu.training.optimizers import (get_optimizer,
                                                       set_learning_rate)
 from csmri_refinement_tpu.training.prep import get_batch_preparer
+from csmri_refinement_tpu.parallel import mesh_from_conf, replicate, \
+    shard_batch
 from csmri_refinement_tpu.utils.config import Configuration
 
 
@@ -85,6 +87,7 @@ class AdversarialRunner(BaseRunner):
     get_input_batch_transform(conf, conf.application, 'test')
 
     self.preparer = get_batch_preparer(conf)
+    self.mesh = mesh_from_conf(conf)
     self.rng = jax.random.PRNGKey(conf.seed)
     self.gen_state = None
     self.disc_state = None
@@ -204,9 +207,12 @@ class AdversarialRunner(BaseRunner):
       return
     self.rng, gen_rng, disc_rng = jax.random.split(self.rng, 3)
 
-    variables = unfreeze(self.gen.init(
-        {'params': gen_rng, 'dropout': gen_rng}, *self._gen_inputs(batch),
-        **({'train': False} if self.gen_has_train_arg else {})))
+    # All init/forward work below runs under jit: remote-compile TPU
+    # backends don't support eager op dispatch.
+    gen_kwargs = {'train': False} if self.gen_has_train_arg else {}
+    gen_init = jax.jit(lambda rng, *inputs: self.gen.init(
+        {'params': rng, 'dropout': rng}, *inputs, **gen_kwargs))
+    variables = unfreeze(gen_init(gen_rng, *self._gen_inputs(batch)))
     self.gen_state = {
         'params': variables.pop('params'),
         'batch_stats': variables.pop('batch_stats', {}),
@@ -220,12 +226,16 @@ class AdversarialRunner(BaseRunner):
 
     if self.disc is not None:
       # Build a representative discriminator input from the generator output
-      out_gen, _ = self._apply_net(
-          self.gen, self.gen_state['params'], self.gen_state['batch_stats'],
-          self._gen_inputs(batch), False, None, self.gen_has_train_arg)
-      disc_in = self.disc_input_fn._build(out_gen, batch['inp'], out_gen)
-      dvars = unfreeze(self.disc.init(
-          {'params': disc_rng, 'dropout': disc_rng}, disc_in, train=False))
+      def make_disc_in(state, b):
+        out_gen, _ = self._apply_net(
+            self.gen, state['params'], state['batch_stats'],
+            self._gen_inputs(b), False, None, self.gen_has_train_arg)
+        return self.disc_input_fn._build(out_gen, b['inp'], out_gen)
+
+      disc_in = jax.jit(make_disc_in)(self.gen_state, batch)
+      disc_init = jax.jit(lambda rng, x: self.disc.init(
+          {'params': rng, 'dropout': rng}, x, train=False))
+      dvars = unfreeze(disc_init(disc_rng, disc_in))
       self.disc_state = {
           'params': dvars.pop('params'),
           'batch_stats': dvars.pop('batch_stats', {}),
@@ -244,6 +254,14 @@ class AdversarialRunner(BaseRunner):
     if self._pending_restore is not None:
       self._apply_restore(self._pending_restore)
       self._pending_restore = None
+
+    self.gen_state = replicate(self.gen_state, self.mesh)
+    if self.disc_state is not None:
+      self.disc_state = replicate(self.disc_state, self.mesh)
+    if self.pool_state is not None:
+      # Pool history is replicated: every device sees the same pool and the
+      # same swap decisions (keys are replicated too)
+      self.pool_state = replicate(self.pool_state, self.mesh)
 
   # -- jitted train step ----------------------------------------------------------
 
@@ -372,6 +390,7 @@ class AdversarialRunner(BaseRunner):
     self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
     batch = self.preparer.prepare_train(prep_rng, host_batch)
     self._ensure_initialized(batch)
+    batch = shard_batch(batch, self.mesh)
 
     use_disc = self.discriminator_enabled
     step_fn = self._get_step_fn(update_gen and self.generator_enabled,
@@ -449,6 +468,7 @@ class AdversarialRunner(BaseRunner):
   def _val_step(self, host_batch, compute_metrics=True):
     batch = self.preparer.prepare_val(host_batch)
     self._ensure_initialized(batch)
+    batch = shard_batch(batch, self.mesh)
     out_gen, out_disc_fake, out_disc_real, losses = self._val_step_fn(
         self.gen_state, self.disc_state, batch)
     loss_metrics = {}
@@ -534,11 +554,11 @@ class AdversarialRunner(BaseRunner):
   def predict(self, batch):
     batch = self._device_put(batch)
     self._ensure_initialized(batch)
-    out, _ = self._apply_net(self.gen, self.gen_state['params'],
-                             self.gen_state['batch_stats'],
-                             self._gen_inputs(batch), False, None,
-                             self.gen_has_train_arg)
-    return out
+    if not hasattr(self, '_predict_fn'):
+      self._predict_fn = jax.jit(lambda state, b: self._apply_net(
+          self.gen, state['params'], state['batch_stats'],
+          self._gen_inputs(b), False, None, self.gen_has_train_arg)[0])
+    return self._predict_fn(self.gen_state, batch)
 
   def get_named_outputs(self, data):
     batch, out_gen = data[0], data[1]

@@ -27,6 +27,8 @@ from csmri_refinement_tpu.training.prep import get_batch_preparer
 from csmri_refinement_tpu.training.model_setup import (
     apply_pretrained_weights)
 from csmri_refinement_tpu.models.criteria import get_criterion
+from csmri_refinement_tpu.parallel import mesh_from_conf, replicate, \
+    shard_batch
 from csmri_refinement_tpu.utils.config import Configuration
 
 
@@ -56,6 +58,7 @@ class Runner(BaseRunner):
     get_input_batch_transform(conf, conf.application, 'test')
 
     self.preparer = get_batch_preparer(conf)
+    self.mesh = mesh_from_conf(conf)
     self.rng = jax.random.PRNGKey(conf.seed)
     self.state = None  # lazy-initialized on first batch
     self._pending_restore = None
@@ -101,10 +104,12 @@ class Runner(BaseRunner):
     if self.state is not None:
       return
     self.rng, init_rng = jax.random.split(self.rng)
-    variables = self.model.init(
-        {'params': init_rng, 'dropout': init_rng},
-        *self._model_inputs(batch),
-        **({'train': False} if self.has_train_arg else {}))
+    # Init under jit: remote-compile TPU backends don't support the eager
+    # dispatch a plain model.init would trigger (convs/FFTs per op).
+    init_kwargs = {'train': False} if self.has_train_arg else {}
+    init_fn = jax.jit(lambda rng, *inputs: self.model.init(
+        {'params': rng, 'dropout': rng}, *inputs, **init_kwargs))
+    variables = init_fn(init_rng, *self._model_inputs(batch))
     variables = unfreeze(variables)
     params = variables.pop('params')
     batch_stats = variables.pop('batch_stats', {})
@@ -125,6 +130,10 @@ class Runner(BaseRunner):
     if self._pending_restore is not None:
       self._apply_restore(self._pending_restore)
       self._pending_restore = None
+
+    # Replicate model/optimizer state across the mesh; GSPMD inserts the
+    # gradient all-reduce once batches are data-sharded.
+    self.state = replicate(self.state, self.mesh)
 
   # -- jitted steps -----------------------------------------------------------
 
@@ -197,6 +206,7 @@ class Runner(BaseRunner):
     self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
     batch = self.preparer.prepare_train(prep_rng, host_batch)
     self._ensure_initialized(batch)
+    batch = shard_batch(batch, self.mesh)
 
     self.state, losses, out = self._train_step_fn(self.state, batch,
                                                   step_rng)
@@ -208,6 +218,7 @@ class Runner(BaseRunner):
   def _val_step(self, host_batch, compute_metrics=True):
     batch = self.preparer.prepare_val(host_batch)
     self._ensure_initialized(batch)
+    batch = shard_batch(batch, self.mesh)
 
     out, losses = self._val_step_fn(self.state, batch)
     loss_metrics = {}
@@ -231,9 +242,10 @@ class Runner(BaseRunner):
   def predict(self, batch):
     batch = self._device_put(batch)
     self._ensure_initialized(batch)
-    out, _ = self._apply_model(self.state['params'],
-                               self.state['batch_stats'], batch, False, None)
-    return out
+    if not hasattr(self, '_predict_fn'):
+      self._predict_fn = jax.jit(lambda state, b: self._apply_model(
+          state['params'], state['batch_stats'], b, False, None)[0])
+    return self._predict_fn(self.state, batch)
 
   # -- bookkeeping ---------------------------------------------------------------
 
