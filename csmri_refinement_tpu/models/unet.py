@@ -74,11 +74,12 @@ def _bilinear_up2(x):
 
 
 def _pixel_shuffle(x, r=2):
-  """(B, H, W, r²·C) → (B, rH, rW, C)."""
+  """(B, H, W, r²·C) → (B, rH, rW, C), torch PixelShuffle channel order
+  (output channel c reads input channels [c·r², (c+1)·r²) row-major)."""
   b, h, w, c4 = x.shape
   c = c4 // (r * r)
-  x = x.reshape(b, h, w, r, r, c)
-  x = x.transpose(0, 1, 3, 2, 4, 5)
+  x = x.reshape(b, h, w, c, r, r)
+  x = x.transpose(0, 1, 4, 2, 5, 3)
   return x.reshape(b, h * r, w * r, c)
 
 
