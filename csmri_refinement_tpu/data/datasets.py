@@ -58,7 +58,8 @@ class SliceDataset:
 
   def __init__(self, images, labels, image_ids, mode='reconstruction',
                image_size=IMAGE_SIZE, downscale=1, augmentation=None,
-               seed=0, name='SliceDataset', include_labels=False):
+               seed=0, name='SliceDataset', include_labels=False,
+               native_pipeline=False):
     assert mode in ('reconstruction', 'segmentation')
     self.images = images
     self.labels = labels
@@ -69,6 +70,8 @@ class SliceDataset:
     # items, enabling validation-time SegmentationScore
     self.include_labels = include_labels and labels is not None
     self.downscale = downscale
+    self.seed = seed
+    self.augmentation = augmentation
     rng = np.random.RandomState(seed)
     if mode == 'reconstruction':
       self.transform = RecHostTransform(image_size, downscale,
@@ -76,6 +79,33 @@ class SliceDataset:
     else:
       self.transform = RecSegHostTransform(image_size, downscale,
                                            augmentation, rng)
+
+    # Native C++ batch fast path (data/native.py): usable when no k-space
+    # center-crop is needed and items carry no labels.
+    self._native = None
+    if (native_pipeline and mode == 'reconstruction' and
+        not self.include_labels and
+        images.shape[-1] == image_size // downscale and
+        images.shape[-2] == image_size // downscale):
+      from csmri_refinement_tpu.data import native
+      if native.available():
+        self._native = native
+        self._native_slices = np.ascontiguousarray(images, np.float32)
+        self._native_counter = 0
+
+  def native_batch(self, indices):
+    """Prepare a whole batch in the native library (None if unavailable)."""
+    if self._native is None:
+      return None
+    aug = self.augmentation or {}
+    self._native_counter += 1
+    gt = self._native.prepare_batch(
+        self._native_slices, np.asarray(indices, np.int32),
+        shift=aug.get('shift', 0) or 0,
+        max_rotate=aug.get('rotate', 0) or 0,
+        zoom_range=tuple(aug.get('scale', (1.0, 1.0))),
+        seed=self.seed * 1000003 + self._native_counter)
+    return {'gt': gt, 'index': np.asarray(indices, np.int32)}
 
   def __len__(self):
     return len(self.images)
@@ -166,7 +196,8 @@ def _build_scarseg(conf, data_dir, fold):
       images, labels, image_ids, mode=mode, image_size=IMAGE_SIZE,
       downscale=conf.get_attr('downscale', default=1),
       augmentation=augmentation, seed=conf.seed, name='ScarSeg',
-      include_labels=conf.get_attr('include_labels', default=False))
+      include_labels=conf.get_attr('include_labels', default=False),
+      native_pipeline=conf.get_attr('native_pipeline', default=False))
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +255,9 @@ def _build_synthetic(conf, data_dir, fold):
                       augmentation=augmentation, seed=conf.seed,
                       name='Synthetic',
                       include_labels=conf.get_attr('include_labels',
-                                                   default=False))
+                                                   default=False),
+                      native_pipeline=conf.get_attr('native_pipeline',
+                                                    default=False))
 
 
 _DATASET_BUILDERS = {

@@ -63,6 +63,12 @@ class DataLoader:
       yield chunk
 
   def _make_batch(self, idx_chunk, pool):
+    # Native C++ batch fast path, when the dataset supports it
+    native_fn = getattr(self.dataset, 'native_batch', None)
+    if native_fn is not None:
+      batch = native_fn(idx_chunk)
+      if batch is not None:
+        return batch
     if pool is not None:
       items = list(pool.map(self.dataset.__getitem__, idx_chunk))
     else:
