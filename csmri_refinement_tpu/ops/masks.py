@@ -125,6 +125,113 @@ def radial_sampling_np(shape, n_lines, angle_begin=0, rand=False,
   return mask.reshape(shape)
 
 
+def var_dens_mask_2d(shape, ivar, sample_high_freq=True, rng=None,
+                     sample_n=9):
+  """Variable-density 2D Bernoulli mask from a separable gaussian pdf
+  (reference compressed_sensing.py:52-79); fully-sampled center block."""
+  if rng is None:
+    rng = np.random
+  if len(shape) == 3:
+    nt, nx, ny = shape
+  else:
+    nx, ny = shape
+    nt = 1
+  pdf = np.outer(normal_pdf(nx, ivar), normal_pdf(ny, ivar))
+  if sample_high_freq:
+    pdf = pdf / 1.1 + 0.01
+  mask = rng.binomial(1, np.broadcast_to(pdf, (nt, nx, ny)))
+  xc, yc = nx // 2, ny // 2
+  half = sample_n // 2
+  mask[:, xc - half:xc + half + 1, yc - half:yc + half + 1] = 1
+  if nt == 1 and len(shape) == 2:
+    return mask.reshape(nx, ny)
+  return mask
+
+
+def nlines_mask(shape, n, centred=False, sample_centre=True, sample_n=1,
+                rng=None):
+  """Sample n k-space lines uniformly at random, optionally forcing the
+  central lines (reference compressed_sensing.py:204-233)."""
+  if rng is None:
+    rng = np.random
+  nt, nx, ny = shape
+  mask = np.zeros(shape)
+  center = set()
+  if sample_centre:
+    xc = nx // 2
+    s = sample_n // 2
+    center = set(range(xc - s, xc - s + sample_n))
+    mask[:, xc - s:xc - s + sample_n, :] = 1
+    n -= sample_n
+  if n > 0:
+    for t in range(nt):
+      idx = rng.choice(nx, n, replace=False)
+      while center and center.intersection(idx.tolist()):
+        idx = rng.choice(nx, n, replace=False)
+      mask[t, idx, :] = 1
+  if not centred:
+    mask = np.fft.ifftshift(mask, axes=(-2, -1))
+  return mask
+
+
+def lowres_mask(shape, n, centred=False, skip=True, rng=None):
+  """Low-resolution acquisition: n central lines (or randomly-signed
+  offsets from center with ``skip``), reference compressed_sensing.py:236-263."""
+  if rng is None:
+    rng = np.random
+  nt, nx, ny = shape
+  mask = np.zeros((nt, nx, 1))
+  xc = nx // 2
+  for t in range(nt):
+    if skip:
+      sign = ((rng.binomial(1, 0.5, n) - 0.5) * 2).astype(int)
+      mask[t, xc + np.arange(n) * sign, :] = 1
+    else:
+      s = n // 2
+      mask[t, xc - s:xc - s + n, :] = 1
+  mask = np.repeat(mask, ny, axis=-1)
+  if not centred:
+    mask = np.fft.ifftshift(mask, axes=(-2, -1))
+  return mask
+
+
+def shear_grid_mask(shape, acceleration_rate, sample_low_freq=True,
+                    centred=False, sample_n=10, rng=None, perturb=False):
+  """Shear-grid (k-t) sampling: each frame samples every
+  ``acceleration_rate``-th line with a per-frame shifted phase; optionally
+  ±1-line perturbation (reference compressed_sensing.py:288-375)."""
+  if rng is None:
+    rng = np.random
+  nt, nx, ny = shape
+  start = rng.randint(0, acceleration_rate)
+  mask = np.zeros((nt, nx))
+  for t in range(nt):
+    mask[t, (start + t) % acceleration_rate::acceleration_rate] = 1
+
+  if perturb:
+    shift = np.array([-1, 0, 1])[rng.randint(0, 3, size=nt * nx)]
+    new_mask = np.zeros_like(mask)
+    for t in range(nt):
+      for x in range(nx):
+        if mask[t, x]:
+          new_mask[t, (x + shift[t * x]) % nx] = 1
+    mask = new_mask
+
+  xc = nx // 2
+  xl = sample_n // 2
+  if sample_low_freq and centred:
+    xh = xl + (1 if sample_n % 2 == 0 else 0)
+    mask[:, xc - xl:xc + xh + 1] = 1
+  elif sample_low_freq:
+    xh = xl - (1 if sample_n % 2 == 1 else 0)
+    if xl > 0:
+      mask[:, :xl] = 1
+    if xh > 0:
+      mask[:, -xh:] = 1
+
+  return np.repeat(mask[..., np.newaxis], ny, axis=-1)
+
+
 CARTESIAN_CENTRAL_LINES = 8  # reference myImageTransformations.py:73
 
 

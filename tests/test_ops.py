@@ -257,3 +257,72 @@ def test_dc_gradient_masks_sampled_lines():
   grad = jax.grad(
       lambda x_: jnp.sum(dc_ops.data_consistency(x_, k0, mask)))(x)
   np.testing.assert_allclose(np.asarray(grad), 0.0, atol=1e-6)
+
+
+def test_var_dens_mask_2d():
+  mask = mask_ops.var_dens_mask_2d((2, 32, 32), ivar=0.01,
+                                   rng=np.random.RandomState(0))
+  assert mask.shape == (2, 32, 32)
+  # Central block fully sampled
+  assert np.all(mask[:, 12:21, 12:21] == 1)
+
+
+def test_nlines_mask():
+  mask = mask_ops.nlines_mask((2, 32, 32), n=8, centred=True,
+                              sample_centre=True, sample_n=2,
+                              rng=np.random.RandomState(0))
+  lines = mask[:, :, 0].sum(axis=1)
+  np.testing.assert_array_equal(lines, 8)
+
+
+def test_lowres_mask():
+  mask = mask_ops.lowres_mask((1, 32, 32), n=8, centred=True, skip=False,
+                              rng=np.random.RandomState(0))
+  assert mask[0, :, 0].sum() == 8
+  assert np.all(mask[0, 12:20, :] == 1)
+
+
+def test_shear_grid_mask():
+  mask = mask_ops.shear_grid_mask((4, 32, 32), acceleration_rate=4,
+                                  sample_low_freq=False, centred=True,
+                                  rng=np.random.RandomState(0))
+  # every frame samples nx/4 lines, shifted per frame
+  lines = mask[:, :, 0].sum(axis=1)
+  np.testing.assert_array_equal(lines, 8)
+  assert not np.array_equal(mask[0], mask[1])
+
+
+def test_perturbed_shear_grid_mask():
+  mask = mask_ops.shear_grid_mask((2, 32, 32), acceleration_rate=4,
+                                  sample_low_freq=True, centred=True,
+                                  sample_n=4, perturb=True,
+                                  rng=np.random.RandomState(0))
+  assert mask.shape == (2, 32, 32)
+  assert np.all(mask[:, 14:17, :] == 1)
+
+
+def test_tensor_transforms():
+  from csmri_refinement_tpu.utils import tensor_transforms as tt
+  rng_ = np.random.RandomState(0)
+  x = jnp.asarray(rng_.randn(2, 4, 4, 2).astype(np.float32))
+
+  scaled = np.asarray(tt.scale_batch_per_example(x))
+  assert scaled.min() >= 0 and scaled.max() <= 1
+
+  norm = np.asarray(tt.normalize_batch_per_example(x))
+  np.testing.assert_allclose(norm.reshape(2, -1, 2).mean(axis=1), 0,
+                             atol=1e-5)
+  np.testing.assert_allclose(norm.reshape(2, -1, 2).std(axis=1), 1,
+                             atol=1e-4)
+
+  mag = np.asarray(tt.complex_abs(x))
+  want = np.sqrt(np.asarray(x)[..., 0] ** 2 + np.asarray(x)[..., 1] ** 2)
+  np.testing.assert_allclose(mag[..., 0], want, rtol=1e-5)
+
+  onehot = np.asarray(tt.convert_to_one_hot(jnp.asarray([[0, 1], [2, 1]])))
+  assert onehot.shape == (2, 2, 3)
+  np.testing.assert_array_equal(onehot.argmax(-1), [[0, 1], [2, 1]])
+
+  nr = np.asarray(tt.normalize_range(jnp.asarray([-1.0, 0.0, 1.0]),
+                                     (-1.0, 1.0), clamp=False))
+  np.testing.assert_allclose(nr, [0.0, 0.5, 1.0])

@@ -71,6 +71,8 @@ parser.add_argument('--resume',
                     help='Path to a checkpoint to resume training from')
 parser.add_argument('--platform', default=None, choices=['cpu', 'tpu'],
                     help='Force a JAX platform (default: environment choice)')
+parser.add_argument('--profile-dir', default=None,
+                    help='Write a jax.profiler trace of training here')
 parser.add_argument('config', help='Config file to use')
 
 
@@ -402,9 +404,11 @@ def main(argv):
     print_model_parameters(runner)
 
   logging.info('Starting training run of %s epochs', conf.num_epochs)
+  from csmri_refinement_tpu.utils.profiling import trace
   try:
-    train_net(conf, runner, train_loader, val_loader, chkpt_metric_dirs,
-              restore_state, summary_writer, early_stoppers, args.verbose)
+    with trace(args.profile_dir):
+      train_net(conf, runner, train_loader, val_loader, chkpt_metric_dirs,
+                restore_state, summary_writer, early_stoppers, args.verbose)
   except KeyboardInterrupt:
     logging.info('Interrupted')
   finally:
