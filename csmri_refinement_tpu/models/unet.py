@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from csmri_refinement_tpu.models import weight_inits
-from csmri_refinement_tpu.models.layers import same_pad
+from csmri_refinement_tpu.models.layers import same_conv, same_pad
 
 REQUIRED_PARAMS = [
     'num_inputs', 'num_outputs', 'num_layers_per_scale',
@@ -103,11 +103,11 @@ class ConvEncodeUnit(nn.Module):
     x = inp
     use_bias = not self.use_bn
     for i in range(self.num_layers):
-      x = same_pad(x, self.kernel_size, stride=1, mode=self.padding)
-      x = nn.Conv(self.num_filters, (self.kernel_size, self.kernel_size),
-                  strides=1, padding='VALID', use_bias=use_bias,
-                  kernel_init=self.conv_init, bias_init=self.bias_init,
-                  dtype=self.dtype, name='conv_{}'.format(i))(x)
+      conv = nn.Conv(self.num_filters, (self.kernel_size, self.kernel_size),
+                     strides=1, padding='VALID', use_bias=use_bias,
+                     kernel_init=self.conv_init, bias_init=self.bias_init,
+                     dtype=self.dtype, name='conv_{}'.format(i))
+      x = same_conv(conv, x, self.kernel_size, self.padding)
       if self.use_bn:
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, scale_init=self.bn_init,
@@ -164,20 +164,20 @@ class ConvDecodeUnit(nn.Module):
     elif self.mode == 'bilinear':
       x = _bilinear_up2(x)
     elif self.mode == 'pixelshuffle':
-      x = same_pad(x, k, stride=1, mode=self.padding)
-      x = nn.Conv(4 * self.num_filters, (k, k), strides=1, padding='VALID',
-                  use_bias=use_bias, kernel_init=self.conv_init,
-                  bias_init=self.bias_init, dtype=self.dtype,
-                  name='up_conv')(x)
+      conv = nn.Conv(4 * self.num_filters, (k, k), strides=1,
+                     padding='VALID', use_bias=use_bias,
+                     kernel_init=self.conv_init, bias_init=self.bias_init,
+                     dtype=self.dtype, name='up_conv')
+      x = same_conv(conv, x, k, self.padding)
       x = _pixel_shuffle(x, 2)
     else:  # nn-resize-conv / nn-biresize-conv
       x = _nearest_up2(x) if self.mode == 'nn-resize-conv' \
           else _bilinear_up2(x)
-      x = same_pad(x, k, stride=1, mode=self.padding)
-      x = nn.Conv(self.num_filters, (k, k), strides=1, padding='VALID',
-                  use_bias=use_bias, kernel_init=self.conv_init,
-                  bias_init=self.bias_init, dtype=self.dtype,
-                  name='up_conv')(x)
+      conv = nn.Conv(self.num_filters, (k, k), strides=1, padding='VALID',
+                     use_bias=use_bias, kernel_init=self.conv_init,
+                     bias_init=self.bias_init, dtype=self.dtype,
+                     name='up_conv')
+      x = same_conv(conv, x, k, self.padding)
 
     if self.act_upsampling_only:
       if self.use_bn:

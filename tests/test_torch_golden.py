@@ -149,3 +149,22 @@ def test_pixelshuffle_matches_torch(rng):
       .transpose(0, 2, 3, 1)
   got = _pixel_shuffle(jnp.asarray(x), 2)
   np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+@pytest.mark.parametrize('mode', ['reflection', 'replication'])
+@pytest.mark.parametrize('kernel_size', [3, 4, 5])
+def test_same_conv_fast_path_equals_materialized(rng, mode, kernel_size):
+  """The border-fixup fast path must equal conv over a fully materialized
+  reflect/replicate pad."""
+  import jax
+  import flax.linen as nn
+  from csmri_refinement_tpu.models.layers import same_conv, same_pad
+
+  x = jnp.asarray(rng.randn(2, 12, 12, 3).astype(np.float32))
+  conv = nn.Conv(5, (kernel_size, kernel_size), strides=1, padding='VALID')
+  variables = conv.init(jax.random.PRNGKey(0),
+                        same_pad(x, kernel_size, 1, mode))
+
+  want = conv.apply(variables, same_pad(x, kernel_size, 1, mode))
+  got = same_conv(lambda v: conv.apply(variables, v), x, kernel_size, mode)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
