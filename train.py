@@ -311,6 +311,10 @@ def main(argv):
   set_platform(args.platform)
 
   conf = Configuration.from_json(args.config)
+  # Multi-host: no-op unless a coordinator is configured (see
+  # parallel/distributed.py)
+  from csmri_refinement_tpu.parallel.distributed import initialize
+  initialize(conf)
   if args.conf:
     conf.update(dict(arg.split('=', 1) for arg in args.conf))
 
