@@ -107,7 +107,7 @@ def main(argv):
   parser = argparse.ArgumentParser()
   parser.add_argument('--batch-size', type=int, default=128)
   parser.add_argument('--image-size', type=int, default=256)
-  parser.add_argument('--iters', type=int, default=20)
+  parser.add_argument('--iters', type=int, default=10)
   parser.add_argument('--warmup', type=int, default=3)
   parser.add_argument('--dtype', default='bf16', choices=['f32', 'bf16'])
   parser.add_argument('--platform', default=None, choices=['cpu', 'tpu'])
