@@ -104,6 +104,40 @@ def random_zoom(image, zoom_range, rng, order=2):
   return clipped_zoom(image, factor, order=order)
 
 
+def gaussian_noise(image, sigma, rng):
+  """Additive gaussian noise (generic transform family the reference's
+  image library carries, myImageTransformations.py noise classes)."""
+  return image + sigma * rng.randn(*image.shape).astype(image.dtype)
+
+
+def gaussian_blur(image, sigma):
+  """Gaussian blur over spatial dims of an HWC image."""
+  out = np.empty_like(image)
+  for c in range(image.shape[2]):
+    out[:, :, c] = gaussian_filter(image[:, :, c], sigma)
+  return out
+
+
+def center_crop(image, size):
+  """Center crop an HWC image to (size, size)."""
+  if isinstance(size, int):
+    size = (size, size)
+  h, w = image.shape[:2]
+  top = (h - size[0]) // 2
+  left = (w - size[1]) // 2
+  return image[top:top + size[0], left:left + size[1]]
+
+
+def random_crop(image, size, rng):
+  """Random crop an HWC image to (size, size)."""
+  if isinstance(size, int):
+    size = (size, size)
+  h, w = image.shape[:2]
+  top = rng.randint(0, h - size[0] + 1)
+  left = rng.randint(0, w - size[1] + 1)
+  return image[top:top + size[0], left:left + size[1]]
+
+
 def random_zoom_pair(image, label, zoom_range, rng, orders=(2, 0)):
   factor = rng.uniform(zoom_range[0], zoom_range[1])
   return (clipped_zoom(image, factor, order=orders[0]),

@@ -100,11 +100,17 @@ class RecSegHostTransform:
   label branch is subsampled by ``downscale``.
   """
 
-  def __init__(self, image_size, downscale=1, augmentation=None, rng=None):
+  def __init__(self, image_size, downscale=1, augmentation=None, rng=None,
+               normalize=False, scale_by_max=False):
+    """``normalize``/``scale_by_max`` mirror the reference's segmentation
+    input-transform options (seg_transforms.input_transform,
+    seg_transforms.py:7-38)."""
     self.target_size = image_size // downscale
     self.downscale = downscale
     self.augmentation = augmentation
     self.rng = rng if rng is not None else np.random
+    self.normalize = normalize
+    self.scale_by_max = scale_by_max
 
   def __call__(self, image, label):
     if image.ndim == 2:
@@ -137,6 +143,11 @@ class RecSegHostTransform:
     peak = np.max(np.abs(img2d))
     if peak > 0:
       img2d = img2d / peak
+
+    if self.normalize:
+      img2d = (img2d - img2d.mean()) / (img2d.std() + 1e-9)
+    if self.scale_by_max:
+      img2d = np.clip(img2d / (np.max(img2d) + 1e-9), 0, 1)
 
     label2d = label[::self.downscale, ::self.downscale, 0]
     return img2d.astype(np.float32), np.round(label2d).astype(np.int64)

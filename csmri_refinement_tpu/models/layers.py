@@ -75,19 +75,29 @@ def same_conv(conv, x, kernel_size, mode='zero', stride=1, dilation=1):
   # Main pass: zero SAME conv (XLA fuses the pad into the conv window)
   y = conv(jnp.pad(x, [(0, 0), (p1, p2), (p1, p2), (0, 0)]))
 
-  # Exact border strips with true reflect/replicate padding
+  # Exact border strips with true reflect/replicate padding. Opposite
+  # strips are padded to a common size and stacked batch-wise so each
+  # conv layer costs two strip launches, not four.
   top = jnp.pad(x[:, :k - 1], [(0, 0), (p1, 0), (p1, p2), (0, 0)],
                 mode=jmode)
-  y = y.at[:, :p1].set(conv(top))
   bottom = jnp.pad(x[:, -(k - 1):], [(0, 0), (0, p2), (p1, p2), (0, 0)],
                    mode=jmode)
-  y = y.at[:, h - p2:].set(conv(bottom))
+  if p2 > p1:  # even kernels: equalize slab heights with a junk row
+    top = jnp.pad(top, [(0, 0), (0, p2 - p1), (0, 0), (0, 0)])
+  tb = conv(jnp.concatenate([top, bottom], axis=0))
+  b = x.shape[0]
+  y = y.at[:, :p1].set(tb[:b, :p1])
+  y = y.at[:, h - p2:].set(tb[b:, :p2])
+
   left = jnp.pad(x[:, :, :k - 1], [(0, 0), (p1, p2), (p1, 0), (0, 0)],
                  mode=jmode)
-  y = y.at[:, :, :p1].set(conv(left))
   right = jnp.pad(x[:, :, -(k - 1):], [(0, 0), (p1, p2), (0, p2), (0, 0)],
                   mode=jmode)
-  y = y.at[:, :, w - p2:].set(conv(right))
+  if p2 > p1:
+    left = jnp.pad(left, [(0, 0), (0, 0), (0, p2 - p1), (0, 0)])
+  lr = conv(jnp.concatenate([left, right], axis=0))
+  y = y.at[:, :, :p1].set(lr[:b, :, :p1])
+  y = y.at[:, :, w - p2:].set(lr[b:, :, :p2])
   return y
 
 

@@ -232,6 +232,50 @@ def shear_grid_mask(shape, acceleration_rate, sample_low_freq=True,
   return np.repeat(mask[..., np.newaxis], ny, axis=-1)
 
 
+def undersampling_rate(mask):
+  """Fraction of sampled k-space (reference compressed_sensing.py:564-565)."""
+  return float(np.sum(mask)) / mask.size
+
+
+def get_undersampling_sensitivity(dim, target_factor, num_trials=20,
+                                  tol=1.0, rng=None, max_iters=40):
+  """Search the gaussian-pdf sensitivity giving a target undersampling
+  factor for :func:`var_dens_mask_2d`.
+
+  Functional equivalent of the reference's stepwise calibration search
+  (compressed_sensing.py:410-457): finds ``ivar`` such that the mean
+  sampling rate of generated masks ≈ 1/target_factor, by bisection on a
+  bracketing interval (monotone: higher sensitivity → narrower pdf → lower
+  rate).
+  """
+  if rng is None:
+    rng = np.random.RandomState(0)
+  target_rate = 1.0 / target_factor
+
+  def mean_rate(ivar):
+    masks = var_dens_mask_2d((num_trials,) + tuple(dim), ivar, rng=rng)
+    return masks.mean()
+
+  lo, hi = 1e-8, 1e-2
+  while mean_rate(hi) > target_rate and hi < 1e3:
+    hi *= 10
+  if mean_rate(lo) < target_rate:
+    raise ValueError(
+        'Cannot reach target rate {}: masks sample a fully-covered center '
+        'block; ensure (central samples)/mask.size < 1/factor'.format(
+            target_rate))
+  for _ in range(max_iters):
+    mid = np.sqrt(lo * hi)
+    rate = mean_rate(mid)
+    if abs(rate - target_rate) <= tol * target_rate / 100.0:
+      return mid
+    if rate > target_rate:
+      lo = mid
+    else:
+      hi = mid
+  return np.sqrt(lo * hi)
+
+
 CARTESIAN_CENTRAL_LINES = 8  # reference myImageTransformations.py:73
 
 

@@ -71,3 +71,15 @@ def test_dataset_native_batch_path(rng):
   # identical to the numpy path without augmentation
   want = np.stack([ds[i]['gt'] for i in range(4)])
   np.testing.assert_allclose(batch['gt'], want, rtol=1e-5)
+
+
+def test_augment_extras(rng):
+  from csmri_refinement_tpu.data import augment
+  img = rng.rand(16, 16, 1).astype(np.float32)
+  noisy = augment.gaussian_noise(img, 0.1, np.random.RandomState(0))
+  assert noisy.shape == img.shape and not np.allclose(noisy, img)
+  blurred = augment.gaussian_blur(img, 1.0)
+  assert blurred.std() < img.std()
+  assert augment.center_crop(img, 8).shape == (8, 8, 1)
+  assert augment.random_crop(img, 8, np.random.RandomState(0)).shape == \
+      (8, 8, 1)

@@ -326,3 +326,17 @@ def test_tensor_transforms():
   nr = np.asarray(tt.normalize_range(jnp.asarray([-1.0, 0.0, 1.0]),
                                      (-1.0, 1.0), clamp=False))
   np.testing.assert_allclose(nr, [0.0, 0.5, 1.0])
+
+
+def test_undersampling_rate_and_sensitivity_search():
+  mask = np.zeros((4, 4))
+  mask[0] = 1
+  assert mask_ops.undersampling_rate(mask) == 0.25
+
+  ivar = mask_ops.get_undersampling_sensitivity(
+      (32, 32), target_factor=4, num_trials=8,
+      rng=np.random.RandomState(0))
+  masks = mask_ops.var_dens_mask_2d((16, 32, 32), ivar,
+                                    rng=np.random.RandomState(1))
+  rate = masks.mean()
+  assert abs(rate - 0.25) < 0.05
