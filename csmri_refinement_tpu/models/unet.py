@@ -35,7 +35,7 @@ REQUIRED_PARAMS = [
 OPTIONAL_PARAMS = [
     'kernel_size', 'transposed_kernel_size', 'relu_leakiness', 'use_bn',
     'upsampling_mode', 'padding', 'encoder_features', 'use_refinement',
-    'decoder_act_upsampling_only', 'dtype',
+    'decoder_act_upsampling_only', 'dtype', 'remat',
 ]
 
 DEFAULT_RELU_LEAKINESS = 0.1
@@ -226,6 +226,7 @@ class UNET(nn.Module):
   encoder_features: Optional[Sequence[int]] = None
   use_refinement: bool = False
   decoder_act_upsampling_only: bool = False
+  remat: bool = False
   weight_init: Any = None
   dtype: Any = None
 
@@ -249,13 +250,19 @@ class UNET(nn.Module):
                                                  'conv_transposed')
     bn_init = weight_inits.get_initializer(init_params['batchnorm_weight'])
 
+    # Rematerialization: recompute per-scale activations in the backward
+    # pass instead of storing them (jax.checkpoint) — trades FLOPs for HBM,
+    # relevant for 512x512 training batches.
+    encode_cls = nn.remat(ConvEncodeUnit) if self.remat else ConvEncodeUnit
+    decode_cls = nn.remat(ConvDecodeUnit) if self.remat else ConvDecodeUnit
+
     num_encode_units = len(self.encode_filters)
     x = inp
     encoder_features = []
     encoder_last_feature = None
     for scale, num_filters in enumerate(self.encode_filters):
       downsample = scale != num_encode_units - 1
-      unit = ConvEncodeUnit(
+      unit = encode_cls(
           x.shape[-1], self.num_layers_per_scale, num_filters,
           self.kernel_size, leakiness[0], self.use_bn,
           downsample=downsample, padding=self.padding,
@@ -272,7 +279,7 @@ class UNET(nn.Module):
     for scale, num_filters in enumerate(
         self.decode_filters[:num_encode_units - 1]):
       num_encode_channels = encode_channels[-(scale + 2)]
-      unit = ConvDecodeUnit(
+      unit = decode_cls(
           x.shape[-1], num_encode_channels, num_filters, leakiness[1],
           self.use_bn, kernel_size=self.kernel_size,
           transposed_kernel_size=self.transposed_kernel_size,
@@ -286,7 +293,7 @@ class UNET(nn.Module):
 
     for scale, num_filters in enumerate(
         self.decode_filters[num_encode_units - 1:]):
-      unit = ConvDecodeUnit(
+      unit = decode_cls(
           x.shape[-1], 0, num_filters, leakiness[1], self.use_bn,
           kernel_size=self.kernel_size,
           transposed_kernel_size=self.transposed_kernel_size,

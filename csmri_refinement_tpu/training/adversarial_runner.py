@@ -268,7 +268,9 @@ class AdversarialRunner(BaseRunner):
   def _get_step_fn(self, update_gen, update_disc, use_disc):
     key = (update_gen, update_disc, use_disc)
     if key not in self._step_cache:
-      self._step_cache[key] = jax.jit(
+      import functools
+      # donate gen/disc/pool state buffers: each step reuses them in place
+      self._step_cache[key] = functools.partial(jax.jit, donate_argnums=(0, 1, 2))(
           lambda gen_state, disc_state, pool_state, batch, rng:
           self._train_step_impl(gen_state, disc_state, pool_state, batch,
                                 rng, update_gen, update_disc, use_disc))

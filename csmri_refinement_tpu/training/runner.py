@@ -7,6 +7,7 @@ forward → per-criterion losses → weighted sum → backward → step sequence
 model/optimizer state is a pytree, never mutated in place.
 """
 
+import functools
 import logging
 
 import jax
@@ -156,9 +157,10 @@ class Runner(BaseRunner):
   def _make_train_step(self):
     criteria = self.criteria
     weights = self.loss_weights
-    tx_update = None  # bound lazily: tx.update needs opt_state structure
 
-    @jax.jit
+    # donate_argnums=0: the previous step's state buffers are reused for
+    # the new state in place (params/opt-state never double-buffer in HBM)
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(state, batch, rng):
       def loss_fn(params):
         out, new_bs = self._apply_model(params, state['batch_stats'],
@@ -182,7 +184,6 @@ class Runner(BaseRunner):
       losses['loss'] = total
       return new_state, losses, out
 
-    del tx_update
     return step
 
   def _make_val_step(self):

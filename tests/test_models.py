@@ -222,3 +222,27 @@ def test_refinement_wrapper_freezes_pretrained():
                        jax.tree_util.tree_leaves(grads2['pretrained_model'])]
   assert any(n > 0.0 for n in learnable_norms)
   assert all(n == 0.0 for n in pretrained_norms2)
+
+
+def test_unet_remat_matches_plain():
+  """remat recomputes activations but must not change values/gradients."""
+  x = jnp.ones((1, 16, 16, 2)) * 0.5
+  plain = UNET(num_inputs=2, num_outputs=1, num_layers_per_scale=1,
+               encode_filters=[4, 8], decode_filters=[4],
+               output_activation='none', use_bn=False)
+  rematted = UNET(num_inputs=2, num_outputs=1, num_layers_per_scale=1,
+                  encode_filters=[4, 8], decode_filters=[4],
+                  output_activation='none', use_bn=False, remat=True)
+  variables = plain.init(jax.random.PRNGKey(0), x)
+  out_p = plain.apply(variables, x)
+  out_r = rematted.apply(variables, x)
+  np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                             atol=1e-6)
+
+  gp = jax.grad(lambda p: jnp.sum(plain.apply({'params': p}, x) ** 2))(
+      variables['params'])
+  gr = jax.grad(lambda p: jnp.sum(rematted.apply({'params': p}, x) ** 2))(
+      variables['params'])
+  for a, b in zip(jax.tree_util.tree_leaves(gp),
+                  jax.tree_util.tree_leaves(gr)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
