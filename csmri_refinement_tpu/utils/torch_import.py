@@ -1,0 +1,281 @@
+"""Import reference (PyTorch) checkpoints into this framework.
+
+Users of the reference train RecNet/UNET/discriminator weights with
+torch; this module maps those state dicts onto our flax parameter trees so
+existing checkpoints keep working after switching frameworks.
+
+Key-naming conventions mirrored from the reference model constructors:
+
+* RecNet: ``conv_blocks.{b}.layers.{i}`` Sequentials of
+  [pad, conv, lrelu]×(num_convs−1) + [pad, conv] → conv j at index 3j+1
+  (reference models/recnet.py:36-52)
+* UNET: ``encode_units.{s}.encode.{i}`` ([pad, conv, bn?, act?] per layer,
+  unet.py:45-56), ``concat_decode_units.{s}`` / ``decode_units.{s}`` with
+  ``upsample.{i}`` (mode-dependent, unet.py:81-113) and ``decode``
+  (ConvEncodeUnit at the tail, unet.py:122-129), ``head.0``
+  (unet.py:240-242)
+* CNNDiscriminator: ``convs.{i}`` ([pad, conv, norm?, act, dropout?] per
+  layer with the ``not-first`` skip, discriminators.py:129-155),
+  ``final_conv.0`` / ``fcs.{i}`` heads (discriminators.py:157-178)
+
+Tensor layout conversion: torch conv weights are OIHW → flax HWIO;
+torch ConvTranspose2d weights are IOHW → flax HWIO with spatially flipped
+kernels (torch's transposed conv correlates with the flipped kernel
+relative to flax's ConvTranspose); linear weights are (out, in) → (in, out).
+"""
+
+import numpy as np
+
+
+def _np(tensor):
+  if hasattr(tensor, 'detach'):
+    return tensor.detach().cpu().numpy()
+  return np.asarray(tensor)
+
+
+def _conv_w(t):
+  return np.transpose(_np(t), (2, 3, 1, 0))  # OIHW → HWIO
+
+
+def _convt_w(t):
+  # torch ConvTranspose2d: (in, out, kh, kw); flax ConvTranspose kernel is
+  # (kh, kw, in, out) applied as fractionally-strided conv without flip →
+  # flip spatial dims to match torch semantics.
+  w = np.transpose(_np(t), (2, 3, 0, 1))
+  return w[::-1, ::-1]
+
+
+def _linear_w(t):
+  return np.transpose(_np(t), (1, 0))
+
+
+def _bn(state_dict, prefix):
+  out = {}
+  params = {}
+  if prefix + '.weight' in state_dict:
+    params['scale'] = _np(state_dict[prefix + '.weight'])
+  if prefix + '.bias' in state_dict:
+    params['bias'] = _np(state_dict[prefix + '.bias'])
+  stats = {}
+  if prefix + '.running_mean' in state_dict:
+    stats['mean'] = _np(state_dict[prefix + '.running_mean'])
+    stats['var'] = _np(state_dict[prefix + '.running_var'])
+  return params, stats
+
+
+def _conv(state_dict, prefix):
+  out = {'kernel': _conv_w(state_dict[prefix + '.weight'])}
+  if prefix + '.bias' in state_dict:
+    out['bias'] = _np(state_dict[prefix + '.bias'])
+  return out
+
+
+def convert_recnet(state_dict, num_blocks, num_convs):
+  """Reference RecNet state dict → {'params': ...} for models.recnet.RecNet."""
+  params = {}
+  for b in range(num_blocks):
+    block = {}
+    for j in range(num_convs):
+      torch_idx = 3 * j + 1  # [pad, conv, lrelu] triplets
+      prefix = 'conv_blocks.{}.layers.{}'.format(b, torch_idx)
+      block['conv_{}'.format(j)] = _conv(state_dict, prefix)
+    params['block_{}'.format(b)] = block
+  return {'params': params, 'batch_stats': {}}
+
+
+def _convert_encode_unit(state_dict, prefix, num_layers, use_bn,
+                         use_act=True):
+  """ConvEncodeUnit: ``{prefix}.encode.{i}`` → our conv_{j}/bn_{j}."""
+  params = {}
+  stats = {}
+  stride = 2 + (1 if use_bn else 0) + (1 if use_act else 0)
+  for j in range(num_layers):
+    conv_idx = j * stride + 1
+    params['conv_{}'.format(j)] = _conv(
+        state_dict, '{}.encode.{}'.format(prefix, conv_idx))
+    if use_bn:
+      bn_p, bn_s = _bn(state_dict, '{}.encode.{}'.format(prefix,
+                                                         conv_idx + 1))
+      params['bn_{}'.format(j)] = bn_p
+      if bn_s:
+        stats['bn_{}'.format(j)] = bn_s
+  return params, stats
+
+
+def _convert_decode_unit(state_dict, prefix, num_layers, use_bn,
+                         upsampling_mode, act_upsampling_only):
+  params = {}
+  stats = {}
+
+  # upsample path (unet.py:81-113)
+  if upsampling_mode == 'transposed':
+    up_conv_idx = 0
+    params['up_conv'] = {
+        'kernel': _convt_w(state_dict['{}.upsample.0.weight'.format(prefix)])
+    }
+    if '{}.upsample.0.bias'.format(prefix) in state_dict:
+      params['up_conv']['bias'] = _np(
+          state_dict['{}.upsample.0.bias'.format(prefix)])
+  elif upsampling_mode == 'pixelshuffle':
+    up_conv_idx = 1
+    params['up_conv'] = _conv(state_dict,
+                              '{}.upsample.{}'.format(prefix, up_conv_idx))
+  elif upsampling_mode in ('nn-resize-conv', 'nn-biresize-conv'):
+    up_conv_idx = 2
+    params['up_conv'] = _conv(state_dict,
+                              '{}.upsample.{}'.format(prefix, up_conv_idx))
+  else:
+    up_conv_idx = None  # nn / bilinear: no conv in the upsample path
+
+  if act_upsampling_only and use_bn and up_conv_idx is not None:
+    bn_p, bn_s = _bn(state_dict,
+                     '{}.upsample.{}'.format(prefix, up_conv_idx + 1))
+    params['up_bn'] = bn_p
+    if bn_s:
+      stats['up_bn'] = bn_s
+
+  # decode tail: [bn?, act?] when not act_upsampling_only, then
+  # ConvEncodeUnit (unet.py:104-129)
+  decode_idx = 0
+  if not act_upsampling_only and use_bn:
+    bn_p, bn_s = _bn(state_dict, '{}.decode.0'.format(prefix))
+    params['merge_bn'] = bn_p
+    if bn_s:
+      stats['merge_bn'] = bn_s
+    decode_idx = 1
+  if not act_upsampling_only:
+    decode_idx += 1  # the activation module
+  if num_layers > 0:
+    sub_params, sub_stats = _convert_encode_unit(
+        state_dict, '{}.decode.{}'.format(prefix, decode_idx), num_layers,
+        use_bn)
+    params['decode'] = sub_params
+    if sub_stats:
+      stats['decode'] = sub_stats
+  return params, stats
+
+
+def convert_unet(state_dict, num_layers_per_scale, encode_filters,
+                 decode_filters, use_bn=True, upsampling_mode='transposed',
+                 decoder_act_upsampling_only=False):
+  """Reference UNET state dict → flax variables for models.unet.UNET."""
+  params = {}
+  stats = {}
+
+  for s in range(len(encode_filters)):
+    p, st = _convert_encode_unit(state_dict, 'encode_units.{}'.format(s),
+                                 num_layers_per_scale, use_bn)
+    params['encode_{}'.format(s)] = p
+    if st:
+      stats['encode_{}'.format(s)] = st
+
+  num_concat = min(len(decode_filters), len(encode_filters) - 1)
+  for s in range(num_concat):
+    p, st = _convert_decode_unit(
+        state_dict, 'concat_decode_units.{}'.format(s),
+        num_layers_per_scale, use_bn, upsampling_mode,
+        decoder_act_upsampling_only)
+    params['decode_{}'.format(s)] = p
+    if st:
+      stats['decode_{}'.format(s)] = st
+
+  for s in range(len(decode_filters) - num_concat):
+    p, st = _convert_decode_unit(
+        state_dict, 'decode_units.{}'.format(s), num_layers_per_scale,
+        use_bn, upsampling_mode, decoder_act_upsampling_only)
+    params['up_decode_{}'.format(s)] = p
+    if st:
+      stats['up_decode_{}'.format(s)] = st
+
+  params['head'] = _conv(state_dict, 'head.0')
+  return {'params': params, 'batch_stats': stats}
+
+
+def convert_discriminator(state_dict, num_filters_per_layer,
+                          use_norm_layers='not-first', norm_layer='batch',
+                          act_fn='lrelu', dropout_after=(), fc_layers=()):
+  """Reference CNNDiscriminator state dict → flax variables."""
+  params = {}
+  stats = {}
+  idx = 0  # torch Sequential index
+  use_norm = use_norm_layers
+  for layer, _ in enumerate(num_filters_per_layer):
+    idx += 1  # padding module
+    params['conv_{}'.format(layer)] = _conv(state_dict,
+                                            'convs.{}'.format(idx))
+    idx += 1
+    if use_norm != 'not-first' and use_norm:
+      if norm_layer == 'batch':
+        bn_p, bn_s = _bn(state_dict, 'convs.{}'.format(idx))
+        params['norm_{}'.format(layer)] = bn_p
+        if bn_s:
+          stats['norm_{}'.format(layer)] = bn_s
+      idx += 1
+    elif use_norm == 'not-first':
+      use_norm = True
+    idx += 1  # activation
+    if layer in dropout_after:
+      idx += 1
+
+  if fc_layers:
+    # fcs Sequential: [Linear, act] pairs then the final Linear → the i-th
+    # Linear sits at torch index 2i (discriminators.py:160-166)
+    for i in range(len(fc_layers)):
+      torch_idx = 2 * i
+      params['fc_{}'.format(i)] = {
+          'kernel': _linear_w(state_dict['fcs.{}.weight'.format(torch_idx)]),
+          'bias': _np(state_dict['fcs.{}.bias'.format(torch_idx)]),
+      }
+  elif 'final_conv.0.weight' in state_dict:
+    params['final_conv'] = _conv(state_dict, 'final_conv.0')
+
+  return {'params': params, 'batch_stats': stats}
+
+
+def load_torch_state_dict(path):
+  """Load a torch-saved checkpoint tolerating the reference's pickled
+  Configuration object (its class is stubbed in)."""
+  import sys
+  import types
+  import torch
+
+  # Stub the reference's utils.config module for unpickling
+  if 'utils' not in sys.modules or not hasattr(sys.modules.get('utils'),
+                                               'config'):
+    utils_mod = sys.modules.get('utils', types.ModuleType('utils'))
+    config_mod = types.ModuleType('utils.config')
+
+    class Configuration:  # noqa: N801 — matches the pickled class name
+      pass
+
+    config_mod.Configuration = Configuration
+    utils_mod.config = config_mod
+    sys.modules.setdefault('utils', utils_mod)
+    sys.modules['utils.config'] = config_mod
+
+  return torch.load(path, map_location='cpu', weights_only=False)
+
+
+def convert_reference_checkpoint(torch_path, out_path, model_specs):
+  """Convert a reference training checkpoint file to our format.
+
+  ``model_specs``: {runner_key: ('recnet'|'unet'|'discriminator', kwargs)}
+  e.g. {'model': ('recnet', {'num_blocks': 3, 'num_convs': 3})}.
+  """
+  from csmri_refinement_tpu.utils.checkpoints import save_raw_checkpoint
+
+  checkpoint = load_torch_state_dict(torch_path)
+  runner_state = checkpoint.get('runner', checkpoint)
+  converters = {
+      'recnet': convert_recnet,
+      'unet': convert_unet,
+      'discriminator': convert_discriminator,
+  }
+  out_runner = {}
+  for key, (kind, kwargs) in model_specs.items():
+    out_runner[key] = converters[kind](runner_state[key], **kwargs)
+
+  out = {'conf': {}, 'runner': out_runner,
+         'epoch': int(checkpoint.get('epoch', 0)), 'best_val_metrics': {}}
+  save_raw_checkpoint(out_path, out)
+  return out
