@@ -98,6 +98,9 @@ def dc_pallas(x, k0, mask, interpret=False):
           flops=16 * 2 * h * h * w * b,
           bytes_accessed=4 * (5 * b * h * w + 2 * h * w + 2 * b * h * w),
           transcendentals=0),
+      # ~12 live f32 planes + 2 DFT matrices: 512² needs ≈19 MB scoped VMEM
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=64 * 1024 * 1024),
       interpret=interpret,
   )(x[..., 0], x[..., 1], k0[..., 0], k0[..., 1], m, fr, fi)
 
