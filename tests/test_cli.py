@@ -99,3 +99,39 @@ def test_validate_raw_outputs(tiny_config, tmp_path):
   assert len(mats) == 4  # one per val slice
   record = load_from_raw(mats[0])
   assert record['pred'].shape == (32, 32, 2)  # raw complex, no transform
+
+
+def test_adversarial_train_validate_cycle(tmp_path):
+  import json
+  import train as train_cli
+  import validate as validate_cli
+  from tests.test_adversarial import _conf
+
+  conf = _conf().to_dict()
+  conf['run_name'] = 'gan-tiny'
+  conf['num_epochs'] = 1
+  conf['epochs_per_validation'] = 1
+  conf['epochs_per_checkpoint'] = 1
+  conf.pop('_seed', None)
+  conf['seed'] = 1
+  conf.pop('_src_file', None)
+  path = str(tmp_path / 'gan.json')
+  with open(path, 'w') as f:
+    json.dump(conf, f)
+
+  log_dir = str(tmp_path / 'runs')
+  train_cli.main([path, '--log-dir', log_dir])
+  ckpts = glob.glob(os.path.join(log_dir, 'gan-tiny_*',
+                                 'periodic-chkpt_*.ckpt'))
+  assert ckpts
+
+  # test-mode validate builds generator only and restores from the GAN ckpt
+  validate_cli.main([path, ckpts[0], '--dry'])
+
+  # deploy strips to generator
+  import deploy_checkpoint as deploy_cli
+  deployed = str(tmp_path / 'gen.ckpt')
+  deploy_cli.main(['adversarial', ckpts[0], deployed])
+  from csmri_refinement_tpu.utils.checkpoints import load_checkpoint
+  assert set(load_checkpoint(deployed)['runner'].keys()) == {'generator'}
+  validate_cli.main([path, deployed, '--dry'])

@@ -194,3 +194,30 @@ def test_summarize_results_cli(tmp_path, capsys):
   out = capsys.readouterr().out
   assert '31.00' in out
   assert '29.00' in out
+
+
+def test_average_dice_metric_via_registry():
+  from csmri_refinement_tpu.metrics import get_metric_fn
+  conf = Configuration.from_dict({
+      'application': 'segmentation',
+      'dice_metric': {'num_classes': 2, 'exclude_background': True}})
+  fn = get_metric_fn(conf, 'dice', 'test')
+  pred = np.zeros((1, 4, 4, 2), np.float32)
+  pred[..., 1] = 1.0  # logits favoring class 1
+  target = np.ones((1, 4, 4), np.int64)
+  metric = fn(pred, target)
+  assert metric.value == 1.0
+
+
+def test_metric_key_overrides():
+  """Per-metric pred_key/target_key/transform overrides
+  (reference metrics/__init__.py:181-194)."""
+  from csmri_refinement_tpu.metrics import get_metric_fn
+  conf = Configuration.from_dict({
+      'application': 'reconstruction',
+      'psnr_metric': {'pred_key': 'pretrained', 'transform': 'none'}})
+  fn = get_metric_fn(conf, 'psnr', 'test')
+  x = np.random.RandomState(0).rand(1, 4, 4, 1).astype(np.float32)
+  out = {'pred': np.zeros_like(x), 'pretrained': x}
+  metric = fn(out, {'target': x})
+  assert metric.value > 100  # identical → huge psnr
