@@ -33,6 +33,17 @@ def psnr(target, pred, data_range):
   return 10.0 * np.log10((data_range ** 2) / mse)
 
 
+def complex_psnr(x, y, peak='normalized'):
+  """PSNR over complex arrays (reference deep_med_lib/utils/metric.py:36):
+  'normalized' assumes unit peak; 'max' uses |x|'s maximum."""
+  x = np.asarray(x)
+  y = np.asarray(y)
+  mse = np.mean(np.abs(x - y) ** 2)
+  if peak == 'max':
+    return 10.0 * np.log10(np.max(np.abs(x)) ** 2 / mse)
+  return 10.0 * np.log10(1.0 / mse)
+
+
 def ssim_gaussian(target, pred, data_range, sigma=1.5, truncate=3.5):
   """skimage-style SSIM: gaussian weights, population covariance, border
   crop of (win-1)//2 (skimage.metrics.structural_similarity semantics for

@@ -104,6 +104,14 @@ class CNNDiscriminator(nn.Module):
     linear_init, linear_bias_init = weight_inits.kernel_and_bias(
         init_params, 'linear')
     bn_init = weight_inits.get_initializer(init_params['batchnorm_weight'])
+    # final_layer_bias user override (reference weight_init_params,
+    # discriminators.py:196-207)
+    final_bias_init = bias_init
+    if self.weight_init and 'final_layer_bias' in self.weight_init:
+      final_bias_init = weight_inits.get_initializer(
+          tuple(self.weight_init['final_layer_bias'])
+          if isinstance(self.weight_init['final_layer_bias'], list)
+          else self.weight_init['final_layer_bias'])
 
     x = inp
     features = []
@@ -151,7 +159,7 @@ class CNNDiscriminator(nn.Module):
         if self.compute_features:
           features.append(x)
       x = nn.Dense(self.fc_layers[-1], use_bias=True,
-                   kernel_init=linear_init, bias_init=linear_bias_init,
+                   kernel_init=linear_init, bias_init=final_bias_init,
                    dtype=self.dtype,
                    name='fc_{}'.format(len(self.fc_layers) - 1))(x)
       if self.compute_features:
@@ -161,7 +169,7 @@ class CNNDiscriminator(nn.Module):
       x = nn.Conv(1, (self.final_conv_kernel_size,
                       self.final_conv_kernel_size),
                   strides=1, padding='VALID', use_bias=self.use_biases,
-                  kernel_init=conv_init, bias_init=bias_init,
+                  kernel_init=conv_init, bias_init=final_bias_init,
                   dtype=self.dtype, name='final_conv')(x)
       if self.final_average_pooling:
         x = jnp.mean(x, axis=(1, 2), keepdims=True)

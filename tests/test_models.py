@@ -246,3 +246,17 @@ def test_unet_remat_matches_plain():
   for a, b in zip(jax.tree_util.tree_leaves(gp),
                   jax.tree_util.tree_leaves(gr)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_discriminator_final_layer_bias_init():
+  model = CNNDiscriminator(num_inputs=1, num_filters_per_layer=[4],
+                           strides=[1], kernel_sizes=3,
+                           use_norm_layers=False,
+                           weight_init={'final_layer_bias':
+                                        ('constant', -2.5)})
+  x = jnp.ones((1, 8, 8, 1))
+  variables = model.init(
+      {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+      x, train=False)
+  np.testing.assert_allclose(
+      np.asarray(variables['params']['final_conv']['bias']), -2.5)
