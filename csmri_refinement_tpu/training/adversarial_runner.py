@@ -299,7 +299,14 @@ class AdversarialRunner(BaseRunner):
     disc_bs_after = disc_state['batch_stats'] if disc_state else {}
     d_grads = None
 
-    if use_disc:
+    # The discriminator phase (pool-mixed detached fakes + reals + D losses)
+    # only runs when D is being updated. The reference's gen-only multi-step
+    # phase skips it too (adversarial_runner.py:470-525) and computes the
+    # detached real pass inside the generator phase only when feature
+    # matching needs it.
+    run_disc_phase = use_disc and update_disc
+
+    if run_disc_phase:
       def disc_loss_fn(disc_params):
         fake_in, pool_after = self.disc_input_fn(
             out_gen_d, gen_inputs[0], out_gen_d, is_real_input=False,
@@ -317,25 +324,31 @@ class AdversarialRunner(BaseRunner):
                     for name, loss in dlosses.items())
         return total, (dlosses, out_fake, out_real, bs2, pool_after)
 
-      if update_disc:
-        (d_total, d_aux), d_grads = jax.value_and_grad(
-            disc_loss_fn, has_aux=True)(disc_state['params'])
-      else:
-        d_total, d_aux = disc_loss_fn(disc_state['params'])
+      (d_total, d_aux), d_grads = jax.value_and_grad(
+          disc_loss_fn, has_aux=True)(disc_state['params'])
       dlosses, out_disc_fake, out_disc_real, disc_bs_after, new_pool = d_aux
       for name, loss in dlosses.items():
         losses_out['disc_loss_' + name] = loss
-      if update_disc:
-        losses_out['disc_loss'] = d_total
+      losses_out['disc_loss'] = d_total
 
     new_gen_state = gen_state
     out_gen = out_gen_d
     if update_gen:
+      # Whether the generator phase needs a detached real pass (feature
+      # matching compares against real features; reference
+      # adversarial_runner.py:476-488)
+      from csmri_refinement_tpu.models.adversarial_loss import (
+          FeatureMatchingLoss)
+      needs_real = any(isinstance(c, FeatureMatchingLoss)
+                       for c in self.gen_adv_criteria.values()) and \
+          out_disc_real is None
+
       def gen_loss_fn(gen_params):
         out_gen_g, gen_bs = gen_forward(gen_params)
         glosses = {}
         disc_bs3 = disc_bs_after
         out_fake2 = None
+        out_real_g = out_disc_real
         if use_disc:
           # Non-detached pass: gradients flow generator → disc input;
           # disc params are constants here (updated separately)
@@ -345,17 +358,25 @@ class AdversarialRunner(BaseRunner):
           out_fake2, disc_bs3 = disc_apply(disc_state['params'],
                                            disc_bs_after, fake_in2,
                                            disc_rng3)
+          if needs_real:
+            real_in, _ = self.disc_input_fn(
+                batch['target'], gen_inputs[0], out_gen_g,
+                is_real_input=True, detach=True)
+            out_real_g, disc_bs3 = disc_apply(disc_state['params'],
+                                              disc_bs3, real_in, disc_rng2)
           for name, crit in self.gen_adv_criteria.items():
-            glosses[name] = crit(out_fake2, out_disc_real)
+            glosses[name] = crit(out_fake2, out_real_g)
         for name, crit in self.gen_criteria.items():
           glosses[name] = crit(out_gen_g, batch)
         total = sum(self.gen_loss_weights[name] * loss
                     for name, loss in glosses.items())
-        return total, (glosses, out_gen_g, gen_bs, out_fake2, disc_bs3)
+        return total, (glosses, out_gen_g, gen_bs, out_fake2, out_real_g,
+                       disc_bs3)
 
       (g_total, g_aux), g_grads = jax.value_and_grad(
           gen_loss_fn, has_aux=True)(gen_state['params'])
-      glosses, out_gen, gen_bs, out_fake2, disc_bs_after = g_aux
+      glosses, out_gen, gen_bs, out_fake2, out_disc_real, disc_bs_after = \
+          g_aux
       for name, loss in glosses.items():
         losses_out['gen_loss_' + name] = loss
       losses_out['gen_loss'] = g_total

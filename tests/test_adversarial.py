@@ -271,3 +271,20 @@ def test_image_pool_disabled():
   _, out = image_pool.query(None, jnp.ones((2, 1, 1, 1)),
                             jax.random.PRNGKey(0))
   np.testing.assert_allclose(np.asarray(out), 1.0)
+
+
+def test_multi_step_gen_phase_skips_disc_update_and_pool():
+  """Gen-only phases must not run the pool-mixed detached pass or report
+  disc losses (reference multi-step gen phase, adversarial_runner.py:470-525)."""
+  conf = _conf()
+  conf.generator_optimizer['updates_per_step'] = 2
+  conf.discriminator_optimizer['updates_per_step'] = 1
+  runner = build_runner(conf, 'adversarial', 'train')
+  train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, 4)
+  losses, _ = runner.train_epoch(loader, 1, steps_per_train_summary=100)
+  # one multi-step: D once (first batch), G twice
+  assert int(runner.disc_state['step']) == 1
+  assert int(runner.gen_state['step']) == 2
+  # pool only fills during the single D phase (batch 4)
+  assert int(runner.pool_state['count']) == 4
