@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from csmri_refinement_tpu.models import weight_inits
-from csmri_refinement_tpu.models.layers import same_conv, same_pad
+from csmri_refinement_tpu.models.layers import same_conv
 
 REQUIRED_PARAMS = [
     'num_inputs', 'num_outputs', 'num_layers_per_scale',

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import serialization
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from csmri_refinement_tpu.data.transform_wrappers import (
     get_input_batch_transform, get_output_transform)
