@@ -94,6 +94,9 @@ class AdversarialRunner(BaseRunner):
     self.pool_state = None
     self._pending_restore = None
     self._step_cache = {}
+    # LRs requested by epoch_beginning before lazy state init (resume path)
+    self._scheduled_gen_lr = None
+    self._scheduled_disc_lr = None
 
     self.generator_enabled = True
     self.discriminator_enabled = True
@@ -254,6 +257,14 @@ class AdversarialRunner(BaseRunner):
     if self._pending_restore is not None:
       self._apply_restore(self._pending_restore)
       self._pending_restore = None
+
+    # Apply LRs the schedulers requested before state existed (resume path)
+    if self._scheduled_gen_lr is not None and 'opt_state' in self.gen_state:
+      set_learning_rate(self.gen_state['opt_state'], self._scheduled_gen_lr)
+    if (self._scheduled_disc_lr is not None and self.disc_state is not None
+        and 'opt_state' in self.disc_state):
+      set_learning_rate(self.disc_state['opt_state'],
+                        self._scheduled_disc_lr)
 
     self.gen_state = replicate(self.gen_state, self.mesh)
     if self.disc_state is not None:
@@ -538,12 +549,20 @@ class AdversarialRunner(BaseRunner):
   # -- epoch hooks ------------------------------------------------------------------------
 
   def epoch_beginning(self, epoch):
-    if self.gen_lr_scheduler is not None and self.gen_state is not None:
-      set_learning_rate(self.gen_state['opt_state'],
-                        self.gen_lr_scheduler(epoch - 1))
-    if self.disc_lr_scheduler is not None and self.disc_state is not None:
-      set_learning_rate(self.disc_state['opt_state'],
-                        self.disc_lr_scheduler(epoch - 1))
+    if self.gen_lr_scheduler is not None:
+      self._scheduled_gen_lr = self.gen_lr_scheduler(epoch - 1)
+      logging.info('Epoch %d generator learning rate: %g', epoch,
+                   self._scheduled_gen_lr)
+      if self.gen_state is not None and 'opt_state' in self.gen_state:
+        set_learning_rate(self.gen_state['opt_state'],
+                          self._scheduled_gen_lr)
+    if self.disc_lr_scheduler is not None:
+      self._scheduled_disc_lr = self.disc_lr_scheduler(epoch - 1)
+      logging.info('Epoch %d discriminator learning rate: %g', epoch,
+                   self._scheduled_disc_lr)
+      if self.disc_state is not None and 'opt_state' in self.disc_state:
+        set_learning_rate(self.disc_state['opt_state'],
+                          self._scheduled_disc_lr)
 
     start, end = self.generator_pretraining_schedule
     if start <= epoch < end:

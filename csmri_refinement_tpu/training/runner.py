@@ -63,6 +63,10 @@ class Runner(BaseRunner):
     self.rng = jax.random.PRNGKey(conf.seed)
     self.state = None  # lazy-initialized on first batch
     self._pending_restore = None
+    # LR requested by epoch_beginning before lazy state init; applied in
+    # _ensure_initialized so a resumed run's first epoch uses the scheduled
+    # (decayed) LR rather than base_lr.
+    self._scheduled_lr = None
 
     if mode == 'train':
       criteria = {}
@@ -131,6 +135,11 @@ class Runner(BaseRunner):
     if self._pending_restore is not None:
       self._apply_restore(self._pending_restore)
       self._pending_restore = None
+
+    # Apply any LR the scheduler requested before state existed (resume
+    # path: epoch_beginning fires before the first batch initializes state).
+    if self._scheduled_lr is not None and 'opt_state' in self.state:
+      set_learning_rate(self.state['opt_state'], self._scheduled_lr)
 
     # Replicate model/optimizer state across the mesh; GSPMD inserts the
     # gradient all-reduce once batches are data-sharded.
@@ -251,9 +260,11 @@ class Runner(BaseRunner):
   # -- bookkeeping ---------------------------------------------------------------
 
   def epoch_beginning(self, epoch):
-    if self.lr_scheduler is not None and self.state is not None:
-      set_learning_rate(self.state['opt_state'],
-                        self.lr_scheduler(epoch - 1))
+    if self.lr_scheduler is not None:
+      self._scheduled_lr = self.lr_scheduler(epoch - 1)
+      logging.info('Epoch %d learning rate: %g', epoch, self._scheduled_lr)
+      if self.state is not None and 'opt_state' in self.state:
+        set_learning_rate(self.state['opt_state'], self._scheduled_lr)
 
   def epoch_finished(self, epoch):
     pass

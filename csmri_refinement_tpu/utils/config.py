@@ -213,8 +213,19 @@ def _resolve_hash_includes(obj, base_dir):
 
 
 def _convert(s):
-  """Convert a CLI override string into a typed Python value."""
+  """Convert a CLI override string into a typed Python value.
+
+  JSON values are supported (so ``--conf 'optimizer={"name": "Adam", ...}'``
+  can override whole sub-configs — the reference's converter handled flat
+  lists only, utils/config.py:120-141); non-JSON falls back to the
+  reference-compatible bool/int/float/list rules.
+  """
   s = s.strip()
+  if s.startswith('{') or s.startswith('['):
+    try:
+      return json.loads(s)
+    except ValueError:
+      pass
   if (s.startswith('[') and s.endswith(']')) or \
      (s.startswith('(') and s.endswith(')')):
     inner = s[1:-1].strip()

@@ -288,3 +288,23 @@ def test_multi_step_gen_phase_skips_disc_update_and_pool():
   assert int(runner.gen_state['step']) == 2
   # pool only fills during the single D phase (batch 4)
   assert int(runner.pool_state['count']) == 4
+
+
+def test_resume_first_epoch_uses_scheduled_lrs():
+  """Regression: scheduled gen/disc LRs requested before lazy state init
+  (the --resume path) must apply once state materializes."""
+  from csmri_refinement_tpu.training.optimizers import get_learning_rate
+
+  sched = {'name': 'Adam', 'learning_rate': 0.0002, 'beta1': 0.5,
+           'lr_scheduler': 'multistep', 'decay_steps': [2],
+           'decay_factor': 0.5}
+  conf = _conf(generator_optimizer=dict(sched),
+               discriminator_optimizer=dict(sched))
+  runner = build_runner(conf, 'adversarial', 'train')
+  train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, conf.batch_size)
+  assert runner.gen_state is None
+  runner.epoch_beginning(5)  # before any batch → state still None
+  runner.train_epoch(loader, 5, steps_per_train_summary=100)
+  assert abs(get_learning_rate(runner.gen_state['opt_state']) - 1e-4) < 1e-9
+  assert abs(get_learning_rate(runner.disc_state['opt_state']) - 1e-4) < 1e-9

@@ -136,3 +136,32 @@ def test_lr_scheduler_applies():
   runner.epoch_beginning(2)
   from csmri_refinement_tpu.training.optimizers import get_learning_rate
   assert abs(get_learning_rate(runner.state['opt_state']) - 0.0001) < 1e-9
+
+
+def test_resume_first_epoch_uses_scheduled_lr(tmp_path):
+  """Regression: epoch_beginning fires before lazy state init on --resume;
+  the scheduled (decayed) LR must still apply to the first resumed epoch."""
+  from csmri_refinement_tpu.training.optimizers import get_learning_rate
+  from csmri_refinement_tpu.utils import checkpoints
+
+  sched_opt = {'name': 'Adam', 'learning_rate': 0.001,
+               'lr_scheduler': 'multistep', 'decay_steps': [2],
+               'decay_factor': 0.1}
+  conf = _conf(optimizer=sched_opt)
+  runner = build_runner(conf, 'standard', 'train')
+  train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, 4)
+  runner.epoch_beginning(1)
+  runner.train_epoch(loader, 1)
+  path = str(tmp_path / 'resume.ckpt')
+  checkpoints.save_checkpoint(path, conf, runner, epoch=1,
+                              best_val_metrics={})
+
+  # Fresh runner (fresh process equivalent): restore, resume at epoch 5.
+  runner2 = build_runner(_conf(optimizer=sched_opt), 'standard', 'train')
+  checkpoints.restore_checkpoint(path, runner2)
+  assert runner2.state is None  # state is still lazy at epoch_beginning time
+  runner2.epoch_beginning(5)
+  runner2.train_epoch(loader, 5)
+  # epoch 5 → scheduler(4), past decay step 2 → 0.001 * 0.1
+  assert abs(get_learning_rate(runner2.state['opt_state']) - 1e-4) < 1e-9
