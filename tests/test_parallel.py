@@ -1,0 +1,228 @@
+"""Multi-device correctness tests on the 8-device virtual CPU mesh.
+
+The north-star claim of the TPU rebuild is that the data-parallel mesh path
+(`parallel/mesh.py` + the `mesh` config key wired through both runners) is
+numerically equivalent to the single-device path: params replicated, batch
+sharded over the `data` axis, GSPMD inserting the gradient all-reduce. The
+reference's analogue was single-node nn.DataParallel
+(/root/reference/utils/custom_data_parallel.py:26), which it never tested.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from csmri_refinement_tpu.data import DataLoader, load_dataset
+from csmri_refinement_tpu.parallel import make_mesh, replicate, shard_batch
+from csmri_refinement_tpu.training import build_runner
+from csmri_refinement_tpu.utils.config import Configuration
+
+N_DEV = 8
+
+
+def _leaves_allclose(a, b, atol, rtol=1e-5):
+  la = jax.tree_util.tree_leaves(a)
+  lb = jax.tree_util.tree_leaves(b)
+  assert len(la) == len(lb)
+  for x, y in zip(la, lb):
+    np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                               atol=atol, rtol=rtol)
+
+
+def _std_conf(mesh=None, **overrides):
+  base = {
+      'seed': 3,
+      'train_dataset': 'Synthetic',
+      'validation_dataset': 'Synthetic',
+      'synthetic': {'image_size': 32, 'num_train': 16, 'num_val': 8},
+      'undersampling': {'sampling_scheme': 'varden',
+                        'acceleration_factor': 2,
+                        'variable_acceleration': False},
+      'runner_type': 'standard',
+      'application': 'reconstruction',
+      'model': {'name': 'RecNet', 'num_blocks': 2, 'num_convs': 2,
+                'num_filters': 8},
+      'loss_name': 'MSE',
+      'optimizer': {'name': 'Adam', 'learning_rate': 0.001},
+      'batch_size': 8,
+      'validation_metrics': ['psnr'],
+  }
+  if mesh is not None:
+    base['mesh'] = mesh
+  base.update(overrides)
+  return Configuration.from_dict(base)
+
+
+def _adv_conf(mesh=None):
+  base = {
+      'seed': 4,
+      'train_dataset': 'Synthetic',
+      'validation_dataset': 'Synthetic',
+      'synthetic': {'image_size': 32, 'num_train': 8, 'num_val': 8},
+      'undersampling': {'sampling_scheme': 'varden',
+                        'acceleration_factor': 2,
+                        'variable_acceleration': False},
+      'runner_type': 'adversarial',
+      'application': 'reconstruction',
+      'generator_model': {
+          'name': 'RefinementWrapper',
+          'mode': 'real-penalty-add',
+          'input_mode': 'output',
+          'pretrained_model': {'name': 'RecNet', 'num_blocks': 1,
+                               'num_convs': 2, 'num_filters': 4},
+          'learnable_model': {
+              'name': 'UNET', 'num_inputs': 2, 'num_outputs': 1,
+              'num_layers_per_scale': 1, 'encode_filters': [4, 8],
+              'decode_filters': [4], 'kernel_size': 4,
+              'upsampling_mode': 'nn-resize-conv',
+              'output_activation': 'none', 'padding': 'reflection',
+              'decoder_act_upsampling_only': True},
+      },
+      'discriminator_model': {
+          'num_inputs': 1,
+          'input_method': 'simple-magnitude',
+          'num_filters_per_layer': [8, 16],
+          'strides': [2, 2],
+          'kernel_sizes': 4,
+          'final_conv_kernel_size': 4,
+          'padding': 'reflection',
+          'use_norm_layers': 'not-first',
+          'norm_layer': 'batch',  # exercises cross-device batch-stat sync
+          'compute_features': True,
+          'use_image_pool': True,
+          'image_pool_size': 16,
+      },
+      'generator_adversarial_losses': ['gan', 'FeatureMatching'],
+      'generator_losses': ['VGG19', 'FeaturePenalty'],
+      'generator_loss_weights': {'gan': 0.5, 'VGG19': 10,
+                                 'FeaturePenalty': 2},
+      'discriminator_losses': ['gan'],
+      'discriminator_label_smoothing': 0.1,
+      'feature_penalty': {'criterion': 'L1',
+                          'input_key': 'prescaled_refinement'},
+      'generator_optimizer': {'name': 'Adam', 'learning_rate': 0.0002,
+                              'beta1': 0.5},
+      'discriminator_optimizer': {'name': 'Adam', 'learning_rate': 0.0002,
+                                  'beta1': 0.5},
+      'batch_size': 8,
+      'validation_metrics': ['psnr'],
+  }
+  if mesh is not None:
+    base['mesh'] = mesh
+  return Configuration.from_dict(base)
+
+
+def test_make_mesh_and_conf():
+  assert jax.device_count() >= N_DEV
+  mesh = make_mesh(N_DEV)
+  assert mesh.size == N_DEV and mesh.axis_names == ('data',)
+  from csmri_refinement_tpu.parallel import mesh_from_conf
+  assert mesh_from_conf(_std_conf()) is None
+  m = mesh_from_conf(_std_conf(mesh={'data': N_DEV}))
+  assert m is not None and m.size == N_DEV
+
+
+def test_shard_and_replicate_shardings():
+  mesh = make_mesh(N_DEV)
+  batch = {'inp': np.zeros((8, 16, 16, 2), np.float32),
+           'mask': np.ones((8, 16, 16, 1), np.float32)}
+  sharded = shard_batch(batch, mesh)
+  for leaf in jax.tree_util.tree_leaves(sharded):
+    assert leaf.sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(mesh, P('data')), leaf.ndim)
+    assert len(leaf.sharding.device_set) == N_DEV
+  params = {'w': np.ones((4, 4), np.float32)}
+  rep = replicate(params, mesh)
+  assert rep['w'].sharding.is_equivalent_to(
+      jax.sharding.NamedSharding(mesh, P()), 2)
+
+
+def _run_standard(mesh_conf, epochs=2):
+  conf = _std_conf(mesh=mesh_conf)
+  runner = build_runner(conf, 'standard', 'train')
+  train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, conf.batch_size, shuffle=True, seed=3)
+  for epoch in range(1, epochs + 1):
+    losses, _ = runner.train_epoch(loader, epoch)
+  val_set = load_dataset(conf, '/tmp', 'Synthetic', 'val')
+  _, val_losses, val_metrics = runner.validate(DataLoader(val_set, 8))
+  return runner, losses, val_losses, val_metrics
+
+
+def test_standard_mesh_matches_single_device():
+  """Two epochs of data-parallel training over 8 devices must produce the
+  same losses, parameters, and validation metrics as single-device."""
+  r1, losses1, vloss1, vmet1 = _run_standard(None)
+  r8, losses8, vloss8, vmet8 = _run_standard({'data': N_DEV})
+  assert r8.mesh is not None and r8.mesh.size == N_DEV
+  assert abs(losses1['loss'].value - losses8['loss'].value) < 1e-5
+  assert abs(vloss1['loss_MSE'].value - vloss8['loss_MSE'].value) < 1e-5
+  assert abs(vmet1['psnr'].value - vmet8['psnr'].value) < 1e-3
+  _leaves_allclose(r1.state['params'], r8.state['params'], atol=1e-5)
+
+
+def test_adversarial_mesh_matches_single_device():
+  """One epoch of the full GAN step (pool, BN batch stats, D-then-G) over
+  the mesh must match single-device: gen/disc params, batch stats, pool."""
+  def run(mesh_conf):
+    conf = _adv_conf(mesh=mesh_conf)
+    runner = build_runner(conf, 'adversarial', 'train')
+    train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+    loader = DataLoader(train_set, conf.batch_size, shuffle=True, seed=4)
+    losses, _ = runner.train_epoch(loader, 1, steps_per_train_summary=100)
+    return runner, losses
+
+  r1, losses1 = run(None)
+  r8, losses8 = run({'data': N_DEV})
+  assert r8.mesh is not None and r8.mesh.size == N_DEV
+  assert abs(losses1['gen_loss'].value - losses8['gen_loss'].value) < 1e-4
+  assert abs(losses1['disc_loss'].value - losses8['disc_loss'].value) < 1e-4
+  _leaves_allclose(r1.gen_state['params'], r8.gen_state['params'],
+                   atol=2e-5)
+  _leaves_allclose(r1.disc_state['params'], r8.disc_state['params'],
+                   atol=2e-5)
+  _leaves_allclose(r1.disc_state['batch_stats'],
+                   r8.disc_state['batch_stats'], atol=2e-5)
+  if r1.pool_state is not None:
+    _leaves_allclose(r1.pool_state, r8.pool_state, atol=2e-5)
+
+
+def test_checkpoint_roundtrip_under_mesh(tmp_path):
+  """Save under a mesh, restore into a fresh mesh runner AND into a
+  single-device runner; predictions must agree everywhere."""
+  from csmri_refinement_tpu.utils import checkpoints
+
+  conf = _std_conf(mesh={'data': N_DEV})
+  runner = build_runner(conf, 'standard', 'train')
+  train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, conf.batch_size, shuffle=True, seed=3)
+  runner.train_epoch(loader, 1)
+
+  path = str(tmp_path / 'mesh.ckpt')
+  checkpoints.save_checkpoint(path, conf, runner, epoch=1,
+                              best_val_metrics={})
+
+  val_set = load_dataset(conf, '/tmp', 'Synthetic', 'val')
+  batch = runner.preparer.prepare_val(next(iter(DataLoader(val_set, 8))))
+  out_orig = np.asarray(runner.predict(batch))
+
+  r_mesh = build_runner(_std_conf(mesh={'data': N_DEV}), 'standard', 'train')
+  checkpoints.restore_checkpoint(path, r_mesh)
+  np.testing.assert_allclose(np.asarray(r_mesh.predict(batch)), out_orig,
+                             atol=1e-6)
+
+  r_single = build_runner(_std_conf(), 'standard', 'train')
+  checkpoints.restore_checkpoint(path, r_single)
+  np.testing.assert_allclose(np.asarray(r_single.predict(batch)), out_orig,
+                             atol=1e-6)
+
+
+def test_mesh_requires_divisible_batch():
+  """Sharding a batch not divisible by the mesh size must fail loudly,
+  not silently produce wrong math."""
+  mesh = make_mesh(N_DEV)
+  batch = {'inp': np.zeros((6, 8, 8, 2), np.float32)}
+  with pytest.raises(Exception):
+    sharded = shard_batch(batch, mesh)
+    jax.block_until_ready(jax.tree_util.tree_leaves(sharded))
