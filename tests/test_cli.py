@@ -135,3 +135,74 @@ def test_adversarial_train_validate_cycle(tmp_path):
   from csmri_refinement_tpu.utils.checkpoints import load_checkpoint
   assert set(load_checkpoint(deployed)['runner'].keys()) == {'generator'}
   validate_cli.main([path, deployed, '--dry'])
+
+
+def test_flagship_refinement_config_end_to_end(tmp_path):
+  """The shipped paper flagship config (configs/2-refinement.json) trains
+  end-to-end via train.py with only dataset/size overrides, and
+  deploy_checkpoint.py strips the result to generator-only."""
+  import train as train_cli
+  import deploy_checkpoint as deploy_cli
+  import validate as validate_cli
+
+  repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  # 128² is the smallest size the paper's 6-layer stride-2 discriminator
+  # geometry supports (reflect-pad needs ≥4² at the final conv).
+  synth = ('synthetic={"image_size": 128, "num_train": 5, "num_val": 5}')
+
+  # 1. Pretrain the RecNet the flagship recipe wraps (paper step 1).
+  recnet_conf = {
+      'seed': 0, 'run_name': 'recnet-pre',
+      'train_dataset': 'Synthetic', 'validation_dataset': 'Synthetic',
+      'synthetic': {'image_size': 32, 'num_train': 5, 'num_val': 5},
+      'undersampling': {'sampling_scheme': 'varden',
+                        'acceleration_factor': 8,
+                        'variable_acceleration': False},
+      'runner_type': 'standard', 'application': 'reconstruction',
+      'model': {'name': 'RecNet', 'num_blocks': 3, 'num_convs': 3,
+                'num_filters': 32},
+      'loss_name': 'MSE',
+      'optimizer': {'name': 'Adam', 'learning_rate': 0.0002},
+      'num_epochs': 1, 'batch_size': 5, 'epochs_per_validation': 5,
+      'epochs_per_checkpoint': 1,
+  }
+  pre_path = str(tmp_path / 'recnet-pre.json')
+  with open(pre_path, 'w') as f:
+    json.dump(recnet_conf, f)
+  log_dir = str(tmp_path / 'runs')
+  train_cli.main([pre_path, '--log-dir', log_dir])
+  recnet_ckpt = sorted(glob.glob(os.path.join(
+      log_dir, 'recnet-pre_*', 'periodic-chkpt_*.ckpt')))[-1]
+
+  # 2. Shipped flagship config, patched only where the reference's own
+  # placeholder demands it (INSERT_CHECKPOINT_PATH_HERE → real checkpoint).
+  with open(os.path.join(repo_root, 'configs', '2-refinement.json')) as f:
+    conf = json.load(f)
+  conf['generator_model']['pretrained_model']['pretrained_weights'] = [
+      recnet_ckpt, 'model']
+  flagship_path = str(tmp_path / '2-refinement.json')
+  with open(flagship_path, 'w') as f:
+    json.dump(conf, f)
+
+  train_cli.main([
+      flagship_path, '--log-dir', log_dir, '--conf',
+      'train_dataset=Synthetic', 'validation_dataset=Synthetic', synth,
+      'num_epochs=1', 'num_data_workers=0', 'use_tensorboard=False',
+      'num_image_summaries=0', 'steps_per_train_summary=100'])
+
+  run_dir = glob.glob(os.path.join(log_dir, '2-refinement_*'))[0]
+  ckpts = glob.glob(os.path.join(run_dir, 'periodic-chkpt_*.ckpt'))
+  assert ckpts, 'flagship run wrote no checkpoint'
+  assert glob.glob(os.path.join(run_dir, 'best_gen_psnr', '*.ckpt')), \
+      'best_checkpoint_metrics: [gen_psnr] produced no best checkpoint'
+
+  # 3. Deploy to a generator-only inference checkpoint and validate with it.
+  deployed = str(tmp_path / 'deployed.ckpt')
+  deploy_cli.main(['adversarial', ckpts[0], deployed])
+  from csmri_refinement_tpu.utils.checkpoints import load_checkpoint
+  ckpt = load_checkpoint(deployed)
+  assert set(ckpt['runner'].keys()) == {'generator'}
+
+  validate_cli.main([
+      flagship_path, deployed, '--dry', '--conf',
+      'train_dataset=Synthetic', 'validation_dataset=Synthetic', synth])
