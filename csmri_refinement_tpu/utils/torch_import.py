@@ -193,8 +193,15 @@ def convert_unet(state_dict, num_layers_per_scale, encode_filters,
 
 def convert_discriminator(state_dict, num_filters_per_layer,
                           use_norm_layers='not-first', norm_layer='batch',
-                          act_fn='lrelu', dropout_after=(), fc_layers=()):
-  """Reference CNNDiscriminator state dict → flax variables."""
+                          act_fn='lrelu', dropout_after=(), fc_layers=(),
+                          conv_output_shape=None):
+  """Reference CNNDiscriminator state dict → flax variables.
+
+  ``conv_output_shape``: (H, W) spatial shape of the conv stack output,
+  required when ``fc_layers`` is non-empty — torch flattens NCHW (C-major)
+  but flax flattens NHWC (C-minor), so the first linear layer's input
+  features must be permuted accordingly.
+  """
   params = {}
   stats = {}
   idx = 0  # torch Sequential index
@@ -218,12 +225,22 @@ def convert_discriminator(state_dict, num_filters_per_layer,
       idx += 1
 
   if fc_layers:
+    assert conv_output_shape is not None, \
+        'conv_output_shape=(H, W) is required to convert FC-head ' \
+        'discriminators (torch flattens CHW, flax flattens HWC)'
     # fcs Sequential: [Linear, act] pairs then the final Linear → the i-th
     # Linear sits at torch index 2i (discriminators.py:160-166)
     for i in range(len(fc_layers)):
       torch_idx = 2 * i
+      w = _np(state_dict['fcs.{}.weight'.format(torch_idx)])  # (out, in)
+      if i == 0:
+        h, wd = conv_output_shape
+        c = num_filters_per_layer[-1]
+        # (out, C·H·W) → (out, H·W·C) to match the NHWC flatten
+        w = w.reshape(w.shape[0], c, h, wd).transpose(0, 2, 3, 1) \
+             .reshape(w.shape[0], -1)
       params['fc_{}'.format(i)] = {
-          'kernel': _linear_w(state_dict['fcs.{}.weight'.format(torch_idx)]),
+          'kernel': np.transpose(w, (1, 0)),
           'bias': _np(state_dict['fcs.{}.bias'.format(torch_idx)]),
       }
   elif 'final_conv.0.weight' in state_dict:
