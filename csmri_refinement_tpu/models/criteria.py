@@ -110,7 +110,9 @@ def _get_vgg_criterion(conf, loss_name, target_key):
     blocks, criterion, weights = -1, 'MSE', None
   vgg_loss = VGGLoss(loss_name, blocks, criterion, weights,
                      weights_path=conf.get_attr('vgg_weights_path'),
-                     conf_path=conf.file)
+                     conf_path=conf.file,
+                     allow_random_init=conf.get_attr('vgg_random_init',
+                                                     default=False))
   return CriterionWrapper(vgg_loss, target_key)
 
 

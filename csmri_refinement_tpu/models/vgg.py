@@ -76,20 +76,32 @@ class VGG19(nn.Module):
     return out
 
 
-def load_vgg19_params(weights_path=None, conf_path=None, rng_seed=0):
+def load_vgg19_params(weights_path=None, conf_path=None, rng_seed=0,
+                      allow_random_init=False):
   """Initialize VGG19 params, from a weights file when available.
 
   Returns a flax params dict for :class:`VGG19`.
+
+  A config that names VGG19 in its losses has its loss weights tuned around
+  ImageNet features (reference configs/2-refinement.json:78-82), so a
+  missing weights file is an error unless the user explicitly opts into
+  uncalibrated features with ``vgg_random_init: true``.
   """
   module = VGG19(output_blocks=(5,))
   dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
   params = module.init(jax.random.PRNGKey(rng_seed), dummy)['params']
 
   if weights_path is None:
+    if not allow_random_init:
+      raise ValueError(
+          'VGG19 perceptual loss requires pretrained weights: set '
+          '"vgg_weights_path" to a converted weights file (see '
+          'csmri_refinement_tpu.utils.torch_import.convert_vgg19), or set '
+          '"vgg_random_init": true to explicitly accept a deterministic '
+          'random init (functional but not ImageNet-calibrated).')
     logging.warning(
-        'VGG19: no pretrained weights configured (set "vgg_weights_path"); '
-        'using deterministic random init — perceptual loss is functional '
-        'but not ImageNet-calibrated')
+        'VGG19: using deterministic random init (vgg_random_init) — '
+        'perceptual loss is functional but not ImageNet-calibrated')
     return params
 
   if not os.path.isabs(weights_path) and conf_path:

@@ -28,7 +28,7 @@ def _complex_to_rgb(x):
 
 class VGGLoss:
   def __init__(self, loss_name, blocks=-1, criterion='L1', weights=None,
-               weights_path=None, conf_path=None):
+               weights_path=None, conf_path=None, allow_random_init=False):
     if loss_name != 'VGG19':
       raise ValueError('Unknown VGG loss {}'.format(loss_name))
 
@@ -39,7 +39,8 @@ class VGGLoss:
     self.blocks = blocks
 
     self.vgg = VGG19(output_blocks=tuple(blocks))
-    self.vgg_params = load_vgg19_params(weights_path, conf_path)
+    self.vgg_params = load_vgg19_params(weights_path, conf_path,
+                                        allow_random_init=allow_random_init)
     self.criterion = _CRITERIONS[criterion]
 
     if weights is not None:

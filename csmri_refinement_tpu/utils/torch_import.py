@@ -249,6 +249,42 @@ def convert_discriminator(state_dict, num_filters_per_layer,
   return {'params': params, 'batch_stats': stats}
 
 
+def convert_vgg19(state_dict_or_path, out_npz_path):
+  """torchvision ``vgg19`` weights (.pth state dict or loadable file) →
+  the ``.npz`` of ``features.{i}.weight/bias`` arrays that
+  :func:`csmri_refinement_tpu.models.vgg.load_vgg19_params` reads.
+
+  Run on any machine with torchvision access::
+
+      python -c "import torchvision, torch; \\
+          torch.save(torchvision.models.vgg19(weights='IMAGENET1K_V1')\\
+          .state_dict(), 'vgg19.pth')"
+
+  then here::
+
+      python -m csmri_refinement_tpu.utils.torch_import \\
+          --vgg19 vgg19.pth vgg19.npz
+
+  and point ``vgg_weights_path`` at the .npz. (Replaces the reference's
+  construction-time torchvision download, models/vgg.py:35.)
+  """
+  if isinstance(state_dict_or_path, str):
+    import torch
+    state = torch.load(state_dict_or_path, map_location='cpu',
+                       weights_only=True)
+  else:
+    state = state_dict_or_path
+  if hasattr(state, 'state_dict'):
+    state = state.state_dict()
+  features = {k: _np(v) for k, v in state.items()
+              if k.startswith('features.')}
+  if not features:
+    raise ValueError('No features.* keys found — not a torchvision VGG '
+                     'state dict')
+  np.savez(out_npz_path, **features)
+  return sorted(features)
+
+
 def load_torch_state_dict(path):
   """Load a torch-saved checkpoint tolerating the reference's pickled
   Configuration object (its class is stubbed in)."""
@@ -296,3 +332,18 @@ def convert_reference_checkpoint(torch_path, out_path, model_specs):
          'epoch': int(checkpoint.get('epoch', 0)), 'best_val_metrics': {}}
   save_raw_checkpoint(out_path, out)
   return out
+
+
+if __name__ == '__main__':
+  import argparse
+  parser = argparse.ArgumentParser(
+      description='Convert reference torch weights to this framework')
+  parser.add_argument('--vgg19', nargs=2, metavar=('IN_PTH', 'OUT_NPZ'),
+                      help='Convert a torchvision vgg19 state dict to the '
+                           'npz consumed by vgg_weights_path')
+  args = parser.parse_args()
+  if args.vgg19:
+    keys = convert_vgg19(args.vgg19[0], args.vgg19[1])
+    print('Wrote {} arrays to {}'.format(len(keys), args.vgg19[1]))
+  else:
+    parser.print_help()

@@ -21,6 +21,7 @@ def _conf(**overrides):
                         'acceleration_factor': 2,
                         'variable_acceleration': False},
       'runner_type': 'adversarial',
+      'vgg_random_init': True,
       'application': 'reconstruction',
       'generator_model': {
           'name': 'RefinementWrapper',

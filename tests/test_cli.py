@@ -188,7 +188,8 @@ def test_flagship_refinement_config_end_to_end(tmp_path):
       flagship_path, '--log-dir', log_dir, '--conf',
       'train_dataset=Synthetic', 'validation_dataset=Synthetic', synth,
       'num_epochs=1', 'num_data_workers=0', 'use_tensorboard=False',
-      'num_image_summaries=0', 'steps_per_train_summary=100'])
+      'num_image_summaries=0', 'steps_per_train_summary=100',
+      'vgg_random_init=True'])
 
   run_dir = glob.glob(os.path.join(log_dir, '2-refinement_*'))[0]
   ckpts = glob.glob(os.path.join(run_dir, 'periodic-chkpt_*.ckpt'))

@@ -224,3 +224,44 @@ def test_recnet_end_to_end_quality_within_north_star(rng):
   assert abs(ssim_j - ssim_t) < 0.001, (ssim_j, ssim_t)
   # And the raw forwards agree far tighter than the quality budget
   assert np.max(np.abs(j_pred - t_pred)) < 1e-3
+
+
+def test_vgg19_block_outputs_match_torch(rng, tmp_path):
+  """VGG19 slicing + normalization parity: convert a (random-weight) torch
+  cfg-'E' features stack via convert_vgg19, load with load_vgg19_params,
+  and compare every block output 0..5. Proves the architecture/slicing
+  matches reference models/vgg.py:35-80 without needing the ImageNet
+  artifact."""
+  from csmri_refinement_tpu.models.vgg import VGG19, load_vgg19_params
+
+  torch.manual_seed(5)
+  tm = torch_twins.TorchVGG19Features()
+  tm.eval()
+
+  npz = str(tmp_path / 'vgg19.npz')
+  keys = torch_import.convert_vgg19(tm.state_dict(), npz)
+  assert len(keys) == 32  # 16 convs x (weight, bias)
+
+  params = load_vgg19_params(npz)
+  model = VGG19(output_blocks=(0, 1, 2, 3, 4, 5))
+
+  x = rng.rand(2, 64, 64, 3).astype(np.float32)
+  mean = torch.tensor([0.485, 0.456, 0.406]).reshape(1, 3, 1, 1)
+  std = torch.tensor([0.229, 0.224, 0.225]).reshape(1, 3, 1, 1)
+  with torch.no_grad():
+    t_blocks = tm.block_outputs(_nchw(x), mean, std)
+
+  j_blocks = jax.jit(lambda p, x: model.apply({'params': p}, x))(params, x)
+
+  assert len(j_blocks) == len(t_blocks) == 6
+  for jb, tb in zip(j_blocks, t_blocks):
+    np.testing.assert_allclose(np.asarray(jb), _nhwc(tb), atol=1e-4,
+                               rtol=1e-3)
+
+
+def test_vgg19_random_init_requires_opt_in():
+  from csmri_refinement_tpu.models.vgg import load_vgg19_params
+  with pytest.raises(ValueError, match='vgg_random_init'):
+    load_vgg19_params(None)
+  params = load_vgg19_params(None, allow_random_init=True)
+  assert 'conv_0' in params

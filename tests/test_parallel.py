@@ -64,6 +64,7 @@ def _adv_conf(mesh=None):
                         'acceleration_factor': 2,
                         'variable_acceleration': False},
       'runner_type': 'adversarial',
+      'vgg_random_init': True,
       'application': 'reconstruction',
       'generator_model': {
           'name': 'RefinementWrapper',
