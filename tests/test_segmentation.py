@@ -221,3 +221,36 @@ def test_metric_key_overrides():
   out = {'pred': np.zeros_like(x), 'pretrained': x}
   metric = fn(out, {'target': x})
   assert metric.value > 100  # identical → huge psnr
+
+
+def test_summarize_api_grouping_sis_and_significance(tmp_path):
+  """The rewritten summarizer: repeat-run grouping, SIS normalization by
+  REC_DICE_GT, and pairwise Wilcoxon significance."""
+  import summarize_results as sr
+  import pandas as pd
+
+  rng = np.random.RandomState(0)
+  paths = []
+  for name, off in [('base', 0.0), ('ours', 2.0)]:
+    for date in ('20200101', '20200102'):
+      p = str(tmp_path / 'scarseg_{}_{}.csv'.format(name, date))
+      pd.DataFrame({'psnr': 30 + off + rng.randn(30) * 0.2,
+                    'segscore': np.full(30, 0.75 + off / 100)}).to_csv(
+          p, index=False)
+      paths.append(p)
+
+  table = sr.summarize(paths, 'psnr', stest_mode='wilcoxon')
+  assert list(table.index) == ['base', 'ours']  # repeats grouped
+  assert (table['n_runs'] == 2).all()
+  assert abs(table.loc['ours', 'mean'] - table.loc['base', 'mean'] - 2.0) \
+      < 0.2
+  assert table['significant'].all()  # clearly separated groups
+
+  sis = sr.summarize(paths, 'segscore')
+  np.testing.assert_allclose(sis.loc['base', 'mean'],
+                             0.75 / sr.REC_DICE_GT, atol=1e-6)
+  np.testing.assert_allclose(sis.loc['ours', 'mean'],
+                             0.77 / sr.REC_DICE_GT, atol=1e-6)
+
+  latex = sr.format_table(table, 'psnr', fmt='latex')
+  assert r'\mathbf' in latex and 'ours' in latex
