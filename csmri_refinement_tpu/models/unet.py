@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from csmri_refinement_tpu.models import weight_inits
-from csmri_refinement_tpu.models.layers import same_conv
+from csmri_refinement_tpu.models.layers import same_conv, same_pad
 
 REQUIRED_PARAMS = [
     'num_inputs', 'num_outputs', 'num_layers_per_scale',
@@ -81,6 +81,91 @@ def _pixel_shuffle(x, r=2):
   x = x.reshape(b, h, w, c, r, r)
   x = x.transpose(0, 1, 4, 2, 5, 3)
   return x.reshape(b, h * r, w * r, c)
+
+
+class SubpixelNNResizeConv(nn.Module):
+  """``nearest-up2 → SAME k×k conv`` computed without materializing the
+  upsampled image.
+
+  Because nearest upsampling duplicates pixels, the k=4 conv on the 2×-
+  upsampled grid collapses to four phase kernels of size 3×3 on the
+  low-resolution grid (adjacent taps that read the same source pixel sum):
+  one conv producing 4·C_out channels followed by depth-to-space. This is
+  0.56× the FLOPs and packs 4× more output channels onto the MXU lanes —
+  measured ~2.8× on the flagship's decode upsample convs (NOTES.md) — and
+  skips the 2×-upsampled intermediate entirely.
+
+  Boundary semantics match the reference exactly (nearest-up then SAME pad
+  of the *upsampled* image, reference unet.py:98-102 + utils.py:58-85):
+  zero/replicate pads are exact by construction; reflect padding reaches
+  one extra source pixel at the bottom/right edge, so the last output
+  row/column is recomputed exactly from thin upsampled slabs.
+
+  Parameter layout is identical to the plain conv (kernel (k,k,Cin,Cout) +
+  bias), so checkpoints and the torch importer are unaffected.
+  """
+  num_filters: int
+  kernel_size: int  # must be 4
+  use_bias: bool
+  padding: str
+  conv_init: Any = None
+  bias_init: Any = None
+  dtype: Any = None
+
+  @nn.compact
+  def __call__(self, x):
+    assert self.kernel_size == 4, 'subpixel fast path is k=4 only'
+    k, cin, cout = self.kernel_size, x.shape[-1], self.num_filters
+    conv_init = self.conv_init or nn.initializers.lecun_normal()
+    kernel = self.param('kernel', conv_init, (k, k, cin, cout))
+    bias = self.param('bias', self.bias_init or nn.initializers.zeros,
+                      (cout,)) if self.use_bias else None
+
+    dt = self.dtype or x.dtype
+    kern = kernel.astype(dt)
+    # Per-axis tap-collapse matrices: output phase r∈{0,1} at low-res i
+    # reads source offsets floor((r-1+t)/2) for tap t (pads p1=1, p2=2).
+    a0 = jnp.asarray([[1, 0, 0, 0], [0, 1, 1, 0], [0, 0, 0, 1]], dt)
+    a1 = jnp.asarray([[0, 0, 0, 0], [1, 1, 0, 0], [0, 0, 1, 1]], dt)
+    phases = []
+    for ay in (a0, a1):
+      for ax in (a0, a1):
+        phases.append(jnp.einsum('at,bu,tuio->abio', ay, ax, kern))
+    # (3,3,cin,4·cout); channel blocks ordered (ry,rx) row-major
+    ksub = jnp.concatenate(phases, axis=-1)
+
+    lowpad = 'zero' if self.padding == 'zero' else 'replication'
+    xp = same_pad(x.astype(dt), 3, 1, lowpad)
+    y4 = jax.lax.conv_general_dilated(
+        xp, ksub, (1, 1), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    b, h, w, _ = y4.shape
+    # depth-to-space: phase (ry,rx) block → output pixel (2i+ry, 2j+rx)
+    y = y4.reshape(b, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5) \
+          .reshape(b, 2 * h, 2 * w, cout)
+
+    if self.padding == 'reflection':
+      # Reflect on the upsampled grid reaches one extra source pixel at
+      # the bottom/right: recompute the last output row/col exactly from
+      # thin nearest-upsampled slabs (padded within the slab, which holds
+      # every row/col the reflection can reach).
+      def strip_conv(slab):
+        return jax.lax.conv_general_dilated(
+            slab, kern, (1, 1), 'VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+      row = _nearest_up2(x[:, -2:]).astype(dt)            # u rows 2H-4..2H-1
+      row = jnp.pad(row, [(0, 0), (0, 2), (1, 2), (0, 0)], mode='reflect')
+      last_row = strip_conv(row)[:, 2:3]                  # output row 2H-1
+      col = _nearest_up2(x[:, :, -2:]).astype(dt)
+      col = jnp.pad(col, [(0, 0), (1, 2), (0, 2), (0, 0)], mode='reflect')
+      last_col = strip_conv(col)[:, :, 2:3]               # output col 2W-1
+      y = y.at[:, -1:, :].set(last_row)
+      y = y.at[:, :, -1:].set(last_col)
+
+    if bias is not None:
+      y = y + bias.astype(dt)
+    return y
 
 
 class ConvEncodeUnit(nn.Module):
@@ -170,7 +255,13 @@ class ConvDecodeUnit(nn.Module):
                      dtype=self.dtype, name='up_conv')
       x = same_conv(conv, x, k, self.padding)
       x = _pixel_shuffle(x, 2)
-    else:  # nn-resize-conv / nn-biresize-conv
+    elif self.mode == 'nn-resize-conv' and k == 4:
+      # Fused subpixel form — identical math and parameters, ~2.8× faster
+      x = SubpixelNNResizeConv(self.num_filters, k, use_bias, self.padding,
+                               conv_init=self.conv_init,
+                               bias_init=self.bias_init, dtype=self.dtype,
+                               name='up_conv')(x)
+    else:  # nn-resize-conv (k != 4) / nn-biresize-conv
       x = _nearest_up2(x) if self.mode == 'nn-resize-conv' \
           else _bilinear_up2(x)
       conv = nn.Conv(self.num_filters, (k, k), strides=1, padding='VALID',

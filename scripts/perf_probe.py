@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Component-level timing on the real chip (scan-chain method).
+
+Each timed quantity is a single compiled lax.scan whose iterations are
+data-dependent, ended by a float32 scalar fetch — the only reliable timing
+idiom on the tunneled backend (NOTES.md). Usage:
+
+    python scripts/perf_probe.py [probe ...]   # default: all
+"""
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 128
+SIZE = 256
+ITERS = 8
+
+
+def timed(fn, x, iters=ITERS, reduce_dtype=jnp.float32):
+  """Seconds per iteration of fn (x-shaped in/out) via scan chaining."""
+
+  @functools.partial(jax.jit, static_argnames='n')
+  def loop(x, n):
+    def body(c, _):
+      y = fn(c)
+      return y.astype(c.dtype), None
+    out, _ = jax.lax.scan(body, x, None, length=n)
+    return jnp.sum(out.astype(reduce_dtype))
+
+  w = 2
+  float(loop(x, n=w))
+  float(loop(x, n=w + iters))
+  t0 = time.perf_counter(); float(loop(x, n=w)); base = time.perf_counter() - t0
+  t0 = time.perf_counter(); float(loop(x, n=w + iters))
+  el = time.perf_counter() - t0
+  return max(el - base, 1e-9) / iters
+
+
+def report(name, secs, flops=None):
+  line = '{:44s} {:8.2f} ms'.format(name, secs * 1e3)
+  if flops:
+    line += '  {:7.1f} TFLOPS'.format(flops / secs / 1e12)
+  print(line, flush=True)
+
+
+def conv_probes():
+  from csmri_refinement_tpu.models.layers import same_conv, same_pad
+  import flax.linen as nn
+
+  for c, k in [(32, 4), (64, 4), (128, 4), (32, 3)]:
+    size = SIZE if c == 32 else SIZE // (c // 32)
+    x = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(1), (BATCH, size, size, c), jnp.bfloat16))()
+    conv = nn.Conv(c, (k, k), padding='VALID', dtype=jnp.bfloat16)
+    params = jax.jit(conv.init)(jax.random.PRNGKey(0),
+                                same_pad(x[:1], k, 1, 'zero'))
+    flops = 2 * BATCH * size * size * k * k * c * c
+
+    def f_zero(x, conv=conv, params=params, k=k):
+      return conv.apply(params, same_pad(x, k, 1, 'zero'))
+
+    def f_reflect_naive(x, conv=conv, params=params, k=k):
+      return conv.apply(params, same_pad(x, k, 1, 'reflection'))
+
+    def f_reflect_fast(x, conv=conv, params=params, k=k):
+      return same_conv(lambda p: conv.apply(params, p), x, k, 'reflection')
+
+    tag = 'conv k{} C{} @{}'.format(k, c, size)
+    report(tag + ' zero-pad', timed(f_zero, x), flops)
+    report(tag + ' reflect-naive', timed(f_reflect_naive, x), flops)
+    report(tag + ' reflect-fast', timed(f_reflect_fast, x), flops)
+
+
+def dc_probe():
+  from csmri_refinement_tpu.ops import dc as dc_ops
+  x = jax.jit(lambda: jax.random.normal(
+      jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 2), jnp.float32))()
+  k0 = x * 0.5
+  mask = jnp.ones((BATCH, SIZE, SIZE, 1), jnp.float32)
+  report('DC fused @{}'.format(SIZE),
+         timed(lambda v: dc_ops.data_consistency(v, k0, mask), x))
+
+  for s in (256, 512):
+    xs = jax.jit(lambda s=s: jax.random.normal(
+        jax.random.PRNGKey(1), (32, s, s, 2), jnp.float32))()
+    k0s = xs * 0.5
+    ms = jnp.ones((32, s, s, 1), jnp.float32)
+    report('DC fused B32 @{}'.format(s),
+           timed(lambda v, k0s=k0s, ms=ms: dc_ops.data_consistency(
+               v, k0s, ms), xs))
+
+
+def model_probes(size=SIZE, batch=BATCH):
+  from csmri_refinement_tpu.models.recnet import RecNet
+  from csmri_refinement_tpu.models.unet import UNET
+  from bench import build_forward
+
+  dt = jnp.bfloat16
+  recnet = RecNet(num_blocks=3, num_convs=3, num_filters=32, dtype=dt)
+  inp = jax.jit(lambda: jax.random.normal(
+      jax.random.PRNGKey(1), (batch, size, size, 2), dt))()
+  ksp = jax.jit(lambda: jax.random.normal(
+      jax.random.PRNGKey(2), (batch, size, size, 2), jnp.float32))()
+  mask = jnp.ones((batch, size, size, 1), jnp.float32)
+  rv = jax.jit(recnet.init)(jax.random.PRNGKey(0), inp, ksp, mask)
+  report('RecNet 3x3x32 @{} B{}'.format(size, batch),
+         timed(lambda x: recnet.apply(rv, x, ksp, mask), inp))
+
+  unet = UNET(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
+              encode_filters=[32, 64, 128], decode_filters=[64, 32],
+              kernel_size=4, upsampling_mode='nn-resize-conv',
+              output_activation='none', padding='reflection',
+              decoder_act_upsampling_only=True, dtype=dt)
+  uv = jax.jit(lambda x: unet.init(jax.random.PRNGKey(0), x))(inp)
+  report('UNET flagship @{} B{}'.format(size, batch),
+         timed(lambda x: jnp.pad(unet.apply(uv, x),
+                                 [(0, 0)] * 3 + [(0, 1)]), inp))
+
+  fwd, variables, batch_for = build_forward(size, 'bf16')
+  b = batch_for(batch)
+  report('flagship full @{} B{}'.format(size, batch),
+         timed(lambda x: fwd(variables, x, b['kspace'], b['mask']),
+               b['inp']))
+
+
+def main(argv):
+  probes = argv or ['conv', 'dc', 'model']
+  print('backend:', jax.default_backend(), flush=True)
+  if 'conv' in probes:
+    conv_probes()
+  if 'dc' in probes:
+    dc_probe()
+  if 'model' in probes:
+    model_probes()
+  if 's2d' in probes:
+    s2d_probes()
+  if 'model512' in probes:
+    model_probes(512, 32)
+
+
+
+def s2d_probes():
+  """Shapes the space-to-depth repacking would produce: C32@256 layers
+  become C128@128 (k4->k3, k3->k2); C64@128 become C256@64 (k3)."""
+  import flax.linen as nn
+  shapes = [
+      ('k2 C128 @128 (RecNet s2d)', 2, 128, 128, 128),
+      ('k3 C128 @128 (UNet s0 s2d)', 3, 128, 128, 128),
+      ('k3 C256 @64  (UNet s1 s2d)', 3, 256, 256, 64),
+      ('k2 C128in->8out @128 (RecNet tail s2d)', 2, 128, 8, 128),
+      ('k4 C32 @256 batch256', 4, 32, 32, 256),
+  ]
+  for name, k, cin, cout, size in shapes:
+    batch = BATCH if size != 256 else BATCH
+    x = jax.jit(lambda cin=cin, size=size, batch=batch: jax.random.normal(
+        jax.random.PRNGKey(1), (batch, size, size, cin), jnp.bfloat16))()
+    conv = nn.Conv(cout, (k, k), padding='SAME', dtype=jnp.bfloat16)
+    params = jax.jit(conv.init)(jax.random.PRNGKey(0), x[:1])
+    flops = 2 * batch * size * size * k * k * cin * cout
+
+    def f(x, conv=conv, params=params, cin=cin):
+      y = conv.apply(params, x)
+      # keep carry shape: project back if cout != cin
+      if y.shape[-1] != cin:
+        y = jnp.concatenate([y] * (cin // y.shape[-1]), axis=-1)
+      return y
+
+    report(name, timed(f, x), flops)
+
+if __name__ == '__main__':
+  main(sys.argv[1:])
