@@ -60,3 +60,37 @@ def test_dc_pallas_preserves_sampled_lines(rng):
   out_k = np.fft.fft2(out[..., 0] + 1j * out[..., 1], axes=(-2, -1),
                       norm='ortho')
   np.testing.assert_allclose(out_k[mask > 0], k0c[mask > 0], atol=2e-4)
+
+
+def test_dc_einsum_matches_reference_and_grads(rng):
+  """The batched-GEMM split-real DC (TPU default path) matches the numpy
+  golden and its custom VJP matches autodiff of the plain path."""
+  import jax
+  import jax.numpy as jnp
+  from csmri_refinement_tpu.ops import dc
+
+  x = rng.randn(3, 16, 16, 2).astype(np.float32)
+  k0 = rng.randn(3, 16, 16, 2).astype(np.float32)
+  mask = (rng.rand(3, 16, 16, 1) < 0.4).astype(np.float32)
+
+  got = np.asarray(jax.jit(dc._dc_einsum)(x, k0, mask))
+  xc = x[..., 0] + 1j * x[..., 1]
+  k0c = k0[..., 0] + 1j * k0[..., 1]
+  want = dc.data_consistency_np(xc, k0c, mask[..., 0])
+  np.testing.assert_allclose(got[..., 0], np.real(want), atol=2e-4)
+  np.testing.assert_allclose(got[..., 1], np.imag(want), atol=2e-4)
+
+  def loss_einsum(x, k0):
+    return jnp.sum(dc._dc_einsum(x, k0, mask) ** 2)
+
+  def loss_plain(x, k0):
+    xc = dc.fft.unpack_complex(x)
+    k = dc.fft.fft2(xc)
+    out = dc.kspace_merge_reference(k, dc.fft.unpack_complex(k0),
+                                    mask[..., 0])
+    return jnp.sum(dc.fft.pack_complex(dc.fft.ifft2(out)) ** 2)
+
+  g1 = jax.grad(loss_einsum, argnums=(0, 1))(x, k0)
+  g2 = jax.grad(loss_plain, argnums=(0, 1))(x, k0)
+  for a, b in zip(g1, g2):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
