@@ -103,6 +103,49 @@ def run_bench(batch_size, image_size, iters, warmup, dtype_str):
   return batch_size * iters / max(elapsed - base, 1e-9)
 
 
+def run_components(image_size, batch_size, dtype_str):
+  """Per-component ms table (stderr) — regression tripwire for rounds 3+."""
+  import jax
+  import jax.numpy as jnp
+  from csmri_refinement_tpu.models.recnet import RecNet
+  from csmri_refinement_tpu.models.unet import UNET
+  from csmri_refinement_tpu.ops import dc as dc_ops
+  from csmri_refinement_tpu.utils.profiling import timed_scan
+
+  dt = jnp.bfloat16 if dtype_str == 'bf16' else jnp.float32
+  b, s = batch_size, image_size
+  key = jax.random.PRNGKey(1)
+  inp = jax.jit(lambda: jax.random.normal(key, (b, s, s, 2), dt))()
+  ksp = jax.jit(lambda: jax.random.normal(key, (b, s, s, 2), jnp.float32))()
+  mask = jnp.ones((b, s, s, 1), jnp.float32)
+
+  rows = []
+  recnet = RecNet(num_blocks=3, num_convs=3, num_filters=32, dtype=dt)
+  rv = jax.jit(recnet.init)(jax.random.PRNGKey(0), inp, ksp, mask)
+  rows.append(('recnet 3x3x32',
+               timed_scan(lambda x: recnet.apply(rv, x, ksp, mask), inp)))
+
+  unet = UNET(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
+              encode_filters=[32, 64, 128], decode_filters=[64, 32],
+              kernel_size=4, upsampling_mode='nn-resize-conv',
+              output_activation='none', padding='reflection',
+              decoder_act_upsampling_only=True, dtype=dt)
+  uv = jax.jit(lambda x: unet.init(jax.random.PRNGKey(0), x))(inp)
+  rows.append(('refinement unet',
+               timed_scan(lambda x: jnp.pad(unet.apply(uv, x),
+                                            [(0, 0)] * 3 + [(0, 1)]), inp)))
+
+  x32 = inp.astype(jnp.float32)
+  rows.append(('dc (fused)',
+               timed_scan(lambda x: dc_ops.data_consistency(x, ksp, mask),
+                          x32)))
+
+  for name, secs in rows:
+    sys.stderr.write('component {:24s} {:8.2f} ms/batch ({} B{} {})\n'
+                     .format(name, secs * 1e3, s, b, dtype_str))
+  sys.stderr.flush()
+
+
 def main(argv):
   parser = argparse.ArgumentParser()
   parser.add_argument('--batch-size', type=int, default=128)
@@ -111,22 +154,48 @@ def main(argv):
   parser.add_argument('--warmup', type=int, default=3)
   parser.add_argument('--dtype', default='bf16', choices=['f32', 'bf16'])
   parser.add_argument('--platform', default=None, choices=['cpu', 'tpu'])
+  parser.add_argument('--profile', metavar='DIR', default=None,
+                      help='dump a jax.profiler trace of the timed loop')
+  parser.add_argument('--components', action='store_true',
+                      help='also print a per-component ms table to stderr')
+  parser.add_argument('--extra-sizes', type=int, nargs='*', default=[],
+                      help='extra resolutions benchmarked to stderr '
+                           '(stdout stays one JSON line)')
   args = parser.parse_args(argv)
 
   if args.platform:
     import jax
     jax.config.update('jax_platforms', args.platform)
 
+  if args.components:
+    run_components(args.image_size, args.batch_size, args.dtype)
+
   dtype = args.dtype
   try:
-    slices_per_sec = run_bench(args.batch_size, args.image_size, args.iters,
-                               args.warmup, dtype)
+    if args.profile:
+      from csmri_refinement_tpu.utils.profiling import trace
+      with trace(args.profile):
+        slices_per_sec = run_bench(args.batch_size, args.image_size,
+                                   args.iters, args.warmup, dtype)
+    else:
+      slices_per_sec = run_bench(args.batch_size, args.image_size, args.iters,
+                                 args.warmup, dtype)
   except Exception as e:  # degrade rather than losing the bench record
     sys.stderr.write('bench: {} run failed ({}); retrying f32 batch 32\n'
                      .format(dtype, type(e).__name__))
     dtype = 'f32'
     slices_per_sec = run_bench(32, args.image_size, max(args.iters // 2, 3),
                                args.warmup, dtype)
+
+  for size in args.extra_sizes:
+    batch = max(args.batch_size * (256 // size) ** 2
+                if size > 256 else args.batch_size, 8)
+    extra = run_bench(batch, size, args.iters, args.warmup, dtype)
+    sys.stderr.write(json.dumps({
+        'metric': '{s}x{s} recon slices/sec/chip (cascade+refine inference, '
+                  '{d} compute)'.format(s=size, d=dtype),
+        'value': round(extra, 1), 'unit': 'slices/s'}) + '\n')
+    sys.stderr.flush()
 
   print(json.dumps({
       'metric': '{s}x{s} recon slices/sec/chip (cascade+refine inference, '

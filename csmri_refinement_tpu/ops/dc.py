@@ -35,10 +35,10 @@ _FUSED_MODE = os.environ.get('CSMRI_TPU_FUSED_DC', 'auto')
 
 
 def _square_mode(h, w, noise_lvl):
-  if noise_lvl is not None or h != w:
+  if noise_lvl is not None:
     return None
   if _FUSED_MODE == '1':
-    return 'pallas'
+    return 'pallas' if h == w else None  # Pallas kernel is square-only
   if _FUSED_MODE == '0':
     return None
   if jax.default_backend() in ('cpu', 'gpu', 'cuda', 'rocm'):
@@ -75,45 +75,75 @@ def _dc_fused_bwd(mask, g):
 _dc_fused.defvjp(_dc_fused_fwd, _dc_fused_bwd)
 
 
-def _dft_split(h):
-  from csmri_refinement_tpu.ops.fft import _dft_matrix_np
+def _split_mats(n, inverse, scale):
   import numpy as np
-  f = _dft_matrix_np(h, inverse=False)
+  f = fft._scaled_dft_np(n, inverse, scale)
   return (jnp.asarray(np.real(f), jnp.float32),
           jnp.asarray(np.imag(f), jnp.float32))
 
 
+def _split_twiddle(n, inverse):
+  import numpy as np
+  w = fft._twiddle_np(n, inverse)
+  return (jnp.asarray(np.real(w), jnp.float32),
+          jnp.asarray(np.imag(w), jnp.float32))
+
+
+def _dft_axis_split(br, bi, inverse, scale, last_axis):
+  """Split-real (i)DFT·scale over rows (-2) or cols (-1) of (B, H, W)
+  planes as batched GEMMs, with radix-2 Cooley-Tukey splits above
+  ``fft._RADIX_BASE`` (matmul FLOPs halve per split level — the dense DFT
+  is the wrong algorithm at 512+).
+
+  The einsums compile to single large dot_generals (N = B·W resp.
+  M = B·H), unlike a per-image Pallas grid — 2.3× faster at B128@256² on
+  v5e.
+  """
+  n = br.shape[-1] if last_axis else br.shape[-2]
+  if n <= fft._RADIX_BASE or n % 2:
+    fr, fi = _split_mats(n, inverse, scale)
+    # DC is precision-critical (quality target: 0.1 dB): TPU's default
+    # matmul precision is one bf16 pass (~2e-2 abs error on these k-space
+    # merges — measured); 'high' (bf16x3) restores ~1e-4, 'highest' would
+    # double that cost again for digits the recon never sees.
+    if last_axis:
+      mm = lambda a, c: jnp.einsum('bhk,kw->bhw', a, c, precision='high')
+    else:
+      mm = lambda a, c: jnp.einsum('hk,bkw->bhw', c, a, precision='high')
+    return (mm(br, fr) - mm(bi, fi), mm(bi, fr) + mm(br, fi))
+  wr, wi = _split_twiddle(n, inverse)
+  if last_axis:
+    er, ei = _dft_axis_split(br[..., 0::2], bi[..., 0::2], inverse, scale,
+                             last_axis)
+    orr, oi = _dft_axis_split(br[..., 1::2], bi[..., 1::2], inverse, scale,
+                              last_axis)
+  else:
+    er, ei = _dft_axis_split(br[..., 0::2, :], bi[..., 0::2, :], inverse,
+                             scale, last_axis)
+    orr, oi = _dft_axis_split(br[..., 1::2, :], bi[..., 1::2, :], inverse,
+                              scale, last_axis)
+    wr, wi = wr[:, None], wi[:, None]
+  tr = wr * orr - wi * oi
+  ti = wr * oi + wi * orr
+  axis = -1 if last_axis else -2
+  return (jnp.concatenate([er + tr, er - tr], axis=axis),
+          jnp.concatenate([ei + ti, ei - ti], axis=axis))
+
+
 @jax.custom_vjp
 def _dc_einsum(x, k0, mask):
-  """Split-real DC as four batched GEMMs per transform side.
-
-  ``jnp.einsum('hk,bkw->bhw')`` / ``('bhk,kw->bhw')`` compile to single
-  large dot_generals (N = B·W resp. M = B·H), unlike the per-image Pallas
-  grid — 2.3× faster at B128@256² on v5e.
-  """
-  h = x.shape[-3]
-  fr, fi = _dft_split(h)
-
-  def lmul(br, bi, cr, ci):
-    return (jnp.einsum('hk,bkw->bhw', cr, br) -
-            jnp.einsum('hk,bkw->bhw', ci, bi),
-            jnp.einsum('hk,bkw->bhw', cr, bi) +
-            jnp.einsum('hk,bkw->bhw', ci, br))
-
-  def rmul(br, bi, cr, ci):
-    return (jnp.einsum('bhk,kw->bhw', br, cr) -
-            jnp.einsum('bhk,kw->bhw', bi, ci),
-            jnp.einsum('bhk,kw->bhw', br, ci) +
-            jnp.einsum('bhk,kw->bhw', bi, cr))
+  """Split-real DC as batched GEMMs per transform side (radix-split DFT)."""
+  h, w = x.shape[-3], x.shape[-2]
+  hs, ws = h ** -0.5, w ** -0.5
 
   ar, ai = x[..., 0].astype(jnp.float32), x[..., 1].astype(jnp.float32)
-  tr, ti = lmul(ar, ai, fr, fi)            # F @ x   (F symmetric)
-  kr, ki = rmul(tr, ti, fr, fi)            # … @ F
+  tr, ti = _dft_axis_split(ar, ai, False, hs, last_axis=False)  # F_h @ x
+  kr, ki = _dft_axis_split(tr, ti, False, ws, last_axis=True)   # … @ F_w
   m = mask[..., 0].astype(jnp.float32)
   kr = (1.0 - m) * kr + k0[..., 0]
   ki = (1.0 - m) * ki + k0[..., 1]
-  tr, ti = lmul(kr, ki, fr, -fi)           # conj(F) @ k
-  yr, yi = rmul(tr, ti, fr, -fi)           # … @ conj(F)
+  tr, ti = _dft_axis_split(kr, ki, True, hs, last_axis=False)   # conj(F_h) @ k
+  yr, yi = _dft_axis_split(tr, ti, True, ws, last_axis=True)    # … @ conj(F_w)
   return jnp.stack([yr, yi], axis=-1)
 
 

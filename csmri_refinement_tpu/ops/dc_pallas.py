@@ -41,7 +41,9 @@ def _dc_kernel(xr_ref, xi_ref, k0r_ref, k0i_ref, m_ref, fr_ref, fi_ref,
   fr = fr_ref[:]
   fi = fi_ref[:]
 
-  dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+  # bf16x3 passes: one-pass MXU bf16 loses ~2e-2 on k-space merges
+  dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
 
   def cmul(ar, ai, br, bi):
     """Complex matmul on split planes: (ar + i·ai) @ (br + i·bi)."""

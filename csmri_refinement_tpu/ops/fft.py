@@ -63,14 +63,61 @@ def _dft_matrix_np(n, inverse):
   return mat.astype(np.complex64)
 
 
+# Largest transform applied as one dense DFT matmul. Above this, one or more
+# radix-2 Cooley-Tukey splits run instead: the dense matmul is O(N²) per
+# output row/col, so a 512-point transform costs 2× more MACs per pixel than
+# two 256-point halves plus an elementwise twiddle — per split level the
+# matmul FLOPs halve. 256 keeps the MXU-friendly dense base case for the
+# default working resolution while 512/1024 images get 1/2 split levels.
+_RADIX_BASE = int(os.environ.get('CSMRI_TPU_DFT_RADIX_BASE', '256'))
+
+
+@functools.lru_cache(maxsize=32)
+def _scaled_dft_np(n, inverse, scale):
+  """(conj-)DFT matrix of size n times `scale` (host constant).
+
+  The radix recursion composes pure DFTs (no per-level normalization), so
+  the ortho 1/sqrt(n_total) factor is folded into the base-case matrix.
+  """
+  mat = np.fft.fft(np.eye(n))
+  if inverse:
+    mat = np.conj(mat)
+  return (mat * scale).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=32)
+def _twiddle_np(n, inverse):
+  """Radix-2 DIT twiddles w_k = exp(∓2πi k/n), k < n/2."""
+  sign = 2j if inverse else -2j
+  return np.exp(sign * np.pi * np.arange(n // 2) / n).astype(np.complex64)
+
+
+def _dft_axis(x, inverse, scale, last_axis):
+  """(i)DFT·scale over rows (axis -2) or cols (axis -1) via MXU matmuls,
+  with radix-2 splits above ``_RADIX_BASE`` (split halves recurse)."""
+  n = x.shape[-1] if last_axis else x.shape[-2]
+  if n <= _RADIX_BASE or n % 2:
+    f = jnp.asarray(_scaled_dft_np(n, inverse, scale))
+    if last_axis:  # x @ F (F symmetric — no transpose)
+      return jnp.einsum('...hw,wl->...hl', x, f, precision='highest')
+    return jnp.einsum('hk,...kw->...hw', f, x, precision='highest')
+  # DIT split: X[k] = E[k] + w_k·O[k]; X[k+n/2] = E[k] - w_k·O[k]
+  w = jnp.asarray(_twiddle_np(n, inverse))
+  if last_axis:
+    even, odd = x[..., 0::2], x[..., 1::2]
+  else:
+    even, odd = x[..., 0::2, :], x[..., 1::2, :]
+    w = w[:, None]
+  e = _dft_axis(even, inverse, scale, last_axis)
+  o = w * _dft_axis(odd, inverse, scale, last_axis)
+  return jnp.concatenate([e + o, e - o], axis=-1 if last_axis else -2)
+
+
 def _dft2(x, inverse):
   """Ortho 2D (i)DFT over the last two axes via MXU matmuls."""
   n_h, n_w = x.shape[-2], x.shape[-1]
-  f_h = jnp.asarray(_dft_matrix_np(n_h, inverse))
-  f_w = jnp.asarray(_dft_matrix_np(n_w, inverse))
-  # rows: F_h @ x ; cols: x @ F_w (F is symmetric, no transpose needed)
-  x = jnp.einsum('hk,...kw->...hw', f_h, x, precision='highest')
-  x = jnp.einsum('...hw,wl->...hl', x, f_w, precision='highest')
+  x = _dft_axis(x, inverse, n_h ** -0.5, last_axis=False)
+  x = _dft_axis(x, inverse, n_w ** -0.5, last_axis=True)
   return x
 
 

@@ -7,10 +7,48 @@ scope in a `jax.profiler` trace viewable in TensorBoard/Perfetto, and
 """
 
 import contextlib
+import functools
 import logging
 import time
 
 import numpy as np
+
+
+def timed_scan(fn, x, iters=8, warmup=2):
+  """Seconds per iteration of ``fn`` (same-shaped in/out) on-device.
+
+  The only reliable timing idiom on remote/tunneled TPU backends (NOTES.md):
+  each timed quantity is a single compiled ``lax.scan`` whose iterations are
+  data-dependent, ended by a float32 scalar fetch — ``block_until_ready``
+  alone does not guarantee execution there. Per-iteration cost is the slope
+  between a short and a long chain (subtracts dispatch/fetch overhead); each
+  run perturbs the input so a result-caching backend cannot serve a stale
+  execution; the reported value is the median of three slopes.
+  """
+  import jax
+  import jax.numpy as jnp
+
+  @functools.partial(jax.jit, static_argnames='n')
+  def loop(x, eps, n):
+    def body(c, _):
+      y = fn(c)
+      return y.astype(c.dtype), None
+    out, _ = jax.lax.scan(body, x + eps, None, length=n)
+    return jnp.sum(out.astype(jnp.float32))
+
+  float(loop(x, 0.0, n=warmup))
+  float(loop(x, 0.0, n=warmup + iters))
+  slopes = []
+  for i in range(3):
+    eps = 1e-6 * (i + 1)
+    t0 = time.perf_counter()
+    float(loop(x, eps, n=warmup))
+    base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(loop(x, 2 * eps, n=warmup + iters))
+    elapsed = time.perf_counter() - t0
+    slopes.append(max(elapsed - base, 1e-9) / iters)
+  return sorted(slopes)[1]
 
 
 @contextlib.contextmanager

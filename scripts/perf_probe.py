@@ -9,8 +9,11 @@ idiom on the tunneled backend (NOTES.md). Usage:
 """
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -21,35 +24,9 @@ SIZE = 256
 ITERS = 8
 
 
-def timed(fn, x, iters=ITERS, reduce_dtype=jnp.float32):
-  """Seconds per iteration of fn (x-shaped in/out) via scan chaining.
-
-  Per-iteration cost is the slope between a short and a long chain
-  (subtracts dispatch/fetch overhead); each run perturbs the input so a
-  result-caching backend cannot serve a stale execution; reported value is
-  the median of three slopes.
-  """
-
-  @functools.partial(jax.jit, static_argnames='n')
-  def loop(x, eps, n):
-    def body(c, _):
-      y = fn(c)
-      return y.astype(c.dtype), None
-    out, _ = jax.lax.scan(body, x + eps, None, length=n)
-    return jnp.sum(out.astype(reduce_dtype))
-
-  w = 2
-  float(loop(x, 0.0, n=w))
-  float(loop(x, 0.0, n=w + iters))
-  slopes = []
-  for i in range(3):
-    eps = 1e-6 * (i + 1)
-    t0 = time.perf_counter(); float(loop(x, eps, n=w))
-    base = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(loop(x, 2 * eps, n=w + iters))
-    el = time.perf_counter() - t0
-    slopes.append(max(el - base, 1e-9) / iters)
-  return sorted(slopes)[1]
+def timed(fn, x, iters=ITERS):
+  from csmri_refinement_tpu.utils.profiling import timed_scan
+  return timed_scan(fn, x, iters=iters)
 
 
 def report(name, secs, flops=None):

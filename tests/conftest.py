@@ -25,6 +25,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+  config.addinivalue_line(
+      'markers',
+      'slow: heavyweight end-to-end/architecture tests '
+      '(quick loop: pytest -m "not slow", ~3 min; full suite ~12 min)')
+
+
 @pytest.fixture
 def rng():
   return np.random.RandomState(0)

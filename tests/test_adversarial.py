@@ -11,6 +11,10 @@ from csmri_refinement_tpu.training import build_runner, image_pool
 from csmri_refinement_tpu.utils.config import Configuration
 
 
+# Heavyweight end-to-end/architecture tests: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
+
 def _conf(**overrides):
   base = {
       'seed': 1,

@@ -8,6 +8,10 @@ import numpy as np
 import pytest
 
 
+# Heavyweight end-to-end/architecture tests: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture
 def tiny_config(tmp_path):
   conf = {

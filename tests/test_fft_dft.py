@@ -33,6 +33,38 @@ def test_dft2_rectangular(rng):
   np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_dft2_radix_split_matches_fft(rng, monkeypatch):
+  """Radix-2 Cooley-Tukey splits (the 512+ lowering) vs numpy, exercised
+  at a small base so two split levels run."""
+  monkeypatch.setattr(jfft, '_RADIX_BASE', 8)
+  x = (rng.randn(2, 32, 32) + 1j * rng.randn(2, 32, 32)).astype(np.complex64)
+  got = np.asarray(jfft._dft2(jnp.asarray(x), inverse=False))
+  want = np.fft.fft2(x, axes=(-2, -1), norm='ortho')
+  np.testing.assert_allclose(got, want, atol=2e-4)
+
+  got = np.asarray(jfft._dft2(jnp.asarray(x), inverse=True))
+  want = np.fft.ifft2(x, axes=(-2, -1), norm='ortho')
+  np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_dft2_radix_split_rectangular_odd(rng, monkeypatch):
+  """Odd sizes fall back to the dense matmul; even sides still split."""
+  monkeypatch.setattr(jfft, '_RADIX_BASE', 8)
+  x = (rng.randn(1, 16, 11) + 1j * rng.randn(1, 16, 11)).astype(np.complex64)
+  got = np.asarray(jfft._dft2(jnp.asarray(x), inverse=False))
+  want = np.fft.fft2(x, axes=(-2, -1), norm='ortho')
+  np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_dft2_at_512_matches_fft(rng):
+  """One real split level at the paper resolution (default base 256)."""
+  x = (rng.randn(1, 512, 512) + 1j * rng.randn(1, 512, 512)) \
+      .astype(np.complex64)
+  got = np.asarray(jfft._dft2(jnp.asarray(x), inverse=False))
+  want = np.fft.fft2(x, axes=(-2, -1), norm='ortho')
+  np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 def test_dft_mode_env_override(rng, monkeypatch):
   monkeypatch.setattr(jfft, '_FFT_MODE', 'dft')
   x = (rng.randn(2, 16, 16) + 1j * rng.randn(2, 16, 16)).astype(np.complex64)

@@ -29,6 +29,10 @@ from csmri_refinement_tpu.utils import torch_import  # noqa: E402
 import torch_twins  # noqa: E402
 
 
+# Heavyweight end-to-end/architecture tests: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
+
 def _nhwc(t):
   return np.ascontiguousarray(
       np.transpose(t.detach().cpu().numpy(), (0, 2, 3, 1)))

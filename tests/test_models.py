@@ -10,7 +10,11 @@ from csmri_refinement_tpu.models.discriminators import CNNDiscriminator
 from csmri_refinement_tpu.models.vgg import VGG19
 from csmri_refinement_tpu.models.recnet import RecNet
 from csmri_refinement_tpu.models.refinement_wrapper import (
+
     RefinementWrapper, _scale, _unscale)
+
+# Heavyweight end-to-end/architecture tests: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def _init_apply(model, *inputs, train=False, **kwargs):

@@ -19,7 +19,11 @@ from csmri_refinement_tpu.utils import torch_import  # noqa: E402
 from csmri_refinement_tpu.models.recnet import RecNet  # noqa: E402
 from csmri_refinement_tpu.models.unet import UNET  # noqa: E402
 from csmri_refinement_tpu.models.discriminators import (  # noqa: E402
+
     CNNDiscriminator)
+
+# Heavyweight end-to-end/architecture tests: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def _recnet_state_dict(rng, num_blocks=2, num_convs=2, num_filters=4):
