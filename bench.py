@@ -146,6 +146,51 @@ def run_components(image_size, batch_size, dtype_str):
   sys.stderr.flush()
 
 
+def run_train_bench(image_size, batch_size, steps):
+  """Flagship GAN training throughput (paper configs/2 recipe on synthetic
+  data): steady-state samples/sec of the full D-then-G jitted update.
+  Printed to stderr — the stdout contract stays one JSON line."""
+  import jax
+  from csmri_refinement_tpu.training import build_runner
+  from csmri_refinement_tpu.utils.config import Configuration
+
+  import os
+  with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'configs', '2-refinement.json')) as f:
+    raw = json.load(f)
+  # Shipped paper recipe, with only the dataset swapped to synthetic and
+  # the pretrained-RecNet placeholder dropped (random init — identical
+  # compute; this is a throughput bench, not a quality run).
+  del raw['generator_model']['pretrained_model']['pretrained_weights']
+  raw.update({
+      'train_dataset': 'Synthetic', 'validation_dataset': 'Synthetic',
+      'synthetic': {'image_size': image_size, 'num_train': batch_size * 4,
+                    'num_val': batch_size},
+      'batch_size': batch_size, 'num_data_workers': 0,
+      'vgg_random_init': True,
+  })
+  conf = Configuration.from_dict(raw)
+  runner = build_runner(conf, 'adversarial', mode='train')
+  from csmri_refinement_tpu.data import DataLoader, load_dataset
+  dataset = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
+                      num_workers=0)
+  host_batch = next(iter(loader))
+
+  for _ in range(2):  # compile + warm
+    runner._run_one_update(host_batch, True, True)
+  start = time.perf_counter()
+  for _ in range(steps):  # every step host-fetches its losses
+    runner._run_one_update(host_batch, True, True)
+  elapsed = time.perf_counter() - start
+  sps = batch_size * steps / elapsed
+  sys.stderr.write(json.dumps({
+      'metric': '{s}x{s} GAN train samples/sec/chip (flagship recipe, '
+                'D-then-G step)'.format(s=image_size),
+      'value': round(sps, 2), 'unit': 'samples/s'}) + '\n')
+  sys.stderr.flush()
+
+
 def main(argv):
   parser = argparse.ArgumentParser()
   parser.add_argument('--batch-size', type=int, default=128)
@@ -161,6 +206,10 @@ def main(argv):
   parser.add_argument('--extra-sizes', type=int, nargs='*', default=[],
                       help='extra resolutions benchmarked to stderr '
                            '(stdout stays one JSON line)')
+  parser.add_argument('--train', action='store_true',
+                      help='also bench GAN training throughput (paper '
+                           'batch 5; stderr row)')
+  parser.add_argument('--train-steps', type=int, default=8)
   args = parser.parse_args(argv)
 
   if args.platform:
@@ -169,6 +218,9 @@ def main(argv):
 
   if args.components:
     run_components(args.image_size, args.batch_size, args.dtype)
+
+  if args.train:
+    run_train_bench(args.image_size, 5, args.train_steps)
 
   dtype = args.dtype
   try:
