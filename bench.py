@@ -122,8 +122,10 @@ def run_components(image_size, batch_size, dtype_str):
   rows = []
   recnet = RecNet(num_blocks=3, num_convs=3, num_filters=32, dtype=dt)
   rv = jax.jit(recnet.init)(jax.random.PRNGKey(0), inp, ksp, mask)
+  # big arrays go through args=, not closure (tunnel constant-size limit)
   rows.append(('recnet 3x3x32',
-               timed_scan(lambda x: recnet.apply(rv, x, ksp, mask), inp)))
+               timed_scan(lambda x, k, m: recnet.apply(rv, x, k, m), inp,
+                          args=(ksp, mask))))
 
   unet = UNET(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
               encode_filters=[32, 64, 128], decode_filters=[64, 32],
@@ -137,8 +139,8 @@ def run_components(image_size, batch_size, dtype_str):
 
   x32 = inp.astype(jnp.float32)
   rows.append(('dc (fused)',
-               timed_scan(lambda x: dc_ops.data_consistency(x, ksp, mask),
-                          x32)))
+               timed_scan(lambda x, k, m: dc_ops.data_consistency(x, k, m),
+                          x32, args=(ksp, mask))))
 
   for name, secs in rows:
     sys.stderr.write('component {:24s} {:8.2f} ms/batch ({} B{} {})\n'

@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 
-def timed_scan(fn, x, iters=8, warmup=2):
+def timed_scan(fn, x, iters=8, warmup=2, args=()):
   """Seconds per iteration of ``fn`` (same-shaped in/out) on-device.
 
   The only reliable timing idiom on remote/tunneled TPU backends (NOTES.md):
@@ -24,28 +24,34 @@ def timed_scan(fn, x, iters=8, warmup=2):
   between a short and a long chain (subtracts dispatch/fetch overhead); each
   run perturbs the input so a result-caching backend cannot serve a stale
   execution; the reported value is the median of three slopes.
+
+  Large device arrays ``fn`` needs besides ``x`` must go through ``args``
+  (passed as ``fn(x, *args)``), NOT lexical closure: closure-captured
+  arrays are baked into the program as constants, and the tunneled
+  remote-compile endpoint rejects oversized request bodies (HTTP 413 at
+  ~hundreds of MB).
   """
   import jax
   import jax.numpy as jnp
 
   @functools.partial(jax.jit, static_argnames='n')
-  def loop(x, eps, n):
+  def loop(x, eps, *extra, n):
     def body(c, _):
-      y = fn(c)
+      y = fn(c, *extra)
       return y.astype(c.dtype), None
     out, _ = jax.lax.scan(body, x + eps, None, length=n)
     return jnp.sum(out.astype(jnp.float32))
 
-  float(loop(x, 0.0, n=warmup))
-  float(loop(x, 0.0, n=warmup + iters))
+  float(loop(x, 0.0, *args, n=warmup))
+  float(loop(x, 0.0, *args, n=warmup + iters))
   slopes = []
   for i in range(3):
     eps = 1e-6 * (i + 1)
     t0 = time.perf_counter()
-    float(loop(x, eps, n=warmup))
+    float(loop(x, eps, *args, n=warmup))
     base = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(loop(x, 2 * eps, n=warmup + iters))
+    float(loop(x, 2 * eps, *args, n=warmup + iters))
     elapsed = time.perf_counter() - t0
     slopes.append(max(elapsed - base, 1e-9) / iters)
   return sorted(slopes)[1]
