@@ -254,3 +254,72 @@ def test_summarize_api_grouping_sis_and_significance(tmp_path):
 
   latex = sr.format_table(table, 'psnr', fmt='latex')
   assert r'\mathbf' in latex and 'ours' in latex
+
+
+def test_eval_results_cli_end_to_end(tmp_path, capsys):
+  """Full offline-eval chain: saved raw .mat reconstructions + fabricated
+  ScarSeg GT labels → eval_results.py CSV/txt → summarize_results on the
+  CSV (reference chain: validate.py --raw → scar_seg/eval.py →
+  summarize_results.py)."""
+  import struct
+  import eval_results
+  import summarize_results as sr
+  from csmri_refinement_tpu.data import io_mat
+  from csmri_refinement_tpu.data.datasets import (STATIC_SPLIT, _LABEL_PATH,
+                                                  SliceDataset)
+
+  rng = np.random.RandomState(0)
+  n_slices, size = 2, 16
+
+  # Fabricate the ScarSeg tree: every val case needs a label volume
+  src = tmp_path / 'scarseg'
+  label = (rng.rand(size, size, n_slices) > 0.7).astype(np.int16)
+  header = bytearray(348)
+  struct.pack_into('<i', header, 0, 348)
+  struct.pack_into('<8h', header, 40, 3, size, size, n_slices, 0, 0, 0, 0)
+  struct.pack_into('<h', header, 70, 4)   # int16
+  struct.pack_into('<f', header, 112, 1.0)
+  for case in STATIC_SPLIT['val']:
+    base = src / case / os.path.dirname(_LABEL_PATH)
+    base.mkdir(parents=True)
+    img = str(src / case / _LABEL_PATH)
+    with open(img[:-4] + '.hdr', 'wb') as f:
+      f.write(header)
+    with open(img, 'wb') as f:
+      f.write(label.tobytes(order='F'))
+
+  # Saved reconstructions for one val case
+  class FakeDS:
+    get_case_and_slice = staticmethod(SliceDataset.get_case_and_slice)
+
+  results = tmp_path / 'results_run1'
+  results.mkdir()
+  case = STATIC_SPLIT['val'][0]
+  for s in range(n_slices):
+    target = rng.rand(1, size, size, 2).astype(np.float32)
+    pred = target + 0.01 * rng.randn(1, size, size, 2).astype(np.float32)
+    name = '{}_slice{:02d}'.format(case, s)
+    io_mat.save_raw(str(results / (name + '.mat')), name,
+                    target, pred, target, FakeDS())
+
+  out = tmp_path / 'out'
+  out.mkdir()
+  eval_results.main(['--fold', 'val', '--src-path', str(src),
+                     '--results-path', str(out), str(results)])
+  capsys.readouterr()
+
+  csv_path = out / 'scarseg_results_run1.csv'
+  txt_path = out / 'scarseg_results_run1.txt'
+  assert csv_path.exists() and txt_path.exists()
+  import pandas as pd
+  df = pd.read_csv(str(csv_path))
+  assert len(df) == n_slices
+  assert set(['psnr', 'ssim', 'name']) <= set(df.columns)
+  assert (df['psnr'] > 20).all()       # pred ≈ target
+  assert (df['ssim'] > 0.8).all()
+  assert 'PSNR' in txt_path.read_text()
+
+  # The rewritten summarizer consumes the produced CSV directly
+  table = sr.summarize([str(csv_path)], 'psnr')
+  assert len(table) == 1
+  assert table.iloc[0]['mean'] > 20
