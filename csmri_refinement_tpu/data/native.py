@@ -29,6 +29,24 @@ def _lib_path():
       'libcsmri_host.so')
 
 
+def _try_build(path):
+  """Build the library in place if a toolchain is available.
+
+  The .so is not committed (binary); a fresh checkout self-builds on
+  first use — a single g++ invocation, ~2 s.
+  """
+  import subprocess
+  native_dir = os.path.dirname(path)
+  if not os.path.exists(os.path.join(native_dir, 'Makefile')):
+    return
+  try:
+    subprocess.run(['make', '-C', native_dir], check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                   timeout=120)
+  except Exception as e:  # no toolchain / build failure → numpy fallback
+    logging.debug('Native host library build failed (%s)', e)
+
+
 def load_library():
   """Load (once) the native library; returns None if unavailable."""
   global _LIB, _TRIED
@@ -36,6 +54,8 @@ def load_library():
     return _LIB
   _TRIED = True
   path = _lib_path()
+  if not os.path.exists(path):
+    _try_build(path)
   if not os.path.exists(path):
     logging.debug('Native host library not built (%s); using numpy '
                   'pipeline', path)
