@@ -134,8 +134,19 @@ def get_metric_fn(conf, metric_name, mode,
   metric_fn = metric_constructor(conf, metric_name)
 
   metric_conf = conf.get_attr('{}_metric'.format(metric_name), default={})
-  pred_key = metric_conf.get('pred_key', pred_key)
-  target_key = metric_conf.get('target_key', target_key)
+  if metric_name == 'segmentation_score':
+    # SIS by definition consumes the raw (complex, untransformed)
+    # reconstruction and compares its segmentation against the GT *label*
+    # (reference metrics/segmentation_score.py:49-79) — not the magnitude
+    # output transform or the reconstruction target. Default accordingly;
+    # both remain overridable via segmentation_score_metric.
+    pred_key = metric_conf.get('pred_key', pred_key)
+    target_key = metric_conf.get('target_key', 'label')
+    metric_conf = dict(metric_conf)
+    metric_conf.setdefault('transform', 'none')
+  else:
+    pred_key = metric_conf.get('pred_key', pred_key)
+    target_key = metric_conf.get('target_key', target_key)
 
   if 'transform' in metric_conf:
     transform = metric_conf['transform']

@@ -323,3 +323,34 @@ def test_eval_results_cli_end_to_end(tmp_path, capsys):
   table = sr.summarize([str(csv_path)], 'psnr')
   assert len(table) == 1
   assert table.iloc[0]['mean'] > 20
+
+
+def test_segmentation_score_registry_defaults(seg_checkpoint):
+  """segmentation_score defaults to target_key=label / transform=none —
+  the ergonomic path a reference user expects (no per-metric overrides)."""
+  conf, _, _, _, ckpt_path = seg_checkpoint
+  rec_conf = Configuration.from_dict({
+      'seed': 0,
+      'train_dataset': 'Synthetic', 'validation_dataset': 'Synthetic',
+      'synthetic': {'image_size': 32, 'num_train': 8, 'num_val': 4},
+      'include_labels': True,
+      'undersampling': {'sampling_scheme': 'varden',
+                        'acceleration_factor': 2},
+      'runner_type': 'standard', 'application': 'reconstruction',
+      'model': {'name': 'RecNet', 'num_blocks': 1, 'num_convs': 2,
+                'num_filters': 4},
+      'loss_name': 'MSE',
+      'optimizer': {'name': 'Adam', 'learning_rate': 0.001},
+      'batch_size': 4,
+      'validation_metrics': ['psnr', 'segmentation_score'],
+      'segmentation_score_metric': {
+          'model': dict(conf.model, pretrained_weights=[ckpt_path, 'model']),
+          'class': 1,
+      },
+  })
+  runner = build_runner(rec_conf, 'standard', 'train')
+  val_set = load_dataset(rec_conf, '/tmp', 'Synthetic', 'val')
+  loader = DataLoader(val_set, 2)
+  _, _, val_metrics = runner.validate(loader)
+  assert 'segmentation_score' in val_metrics
+  assert 0.0 <= val_metrics['segmentation_score'].value <= 1.0
