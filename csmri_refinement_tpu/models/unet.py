@@ -168,6 +168,60 @@ class SubpixelNNResizeConv(nn.Module):
     return y
 
 
+# Lower the skip-merge conv as conv_a(enc) + conv_b(dec) instead of
+# conv(concat([enc, dec])): exact by linearity in input channels. Wins big
+# in ISOLATION (6.2 → 4.5 ms for d1 64→32 @256 B128, 5.1 → 2.5 ms for d0
+# 128→64 @128 on v5e — the concat materialization dominates there), but
+# LOSES ~5% end-to-end in the composed flagship graph (2195 → 2089
+# slices/s): XLA already fuses the concat into the consuming conv inside
+# the full program, and the split doubles conv launches + reflect border
+# fixups. Default off; kept (with equivalence tests) as a measured
+# negative result and for backends without that fusion.
+_SPLIT_MERGE_CONV = False
+
+
+class _SplitSumConv(nn.Module):
+  """First decode conv on an unmaterialized (encode, decode) pair.
+
+  Parameter layout is identical to the nn.Conv it replaces (child name and
+  'kernel'/'bias' param names supplied by the caller), so checkpoints and
+  the torch importer are unaffected: kernel (k, k, c_enc + c_dec, cout),
+  input-channel blocks ordered [encode, decode] like the concat it lowers.
+  """
+  num_filters: int
+  kernel_size: int
+  use_bias: bool
+  padding: str
+  conv_init: Any = None
+  bias_init: Any = None
+  dtype: Any = None
+
+  @nn.compact
+  def __call__(self, enc, dec):
+    k = self.kernel_size
+    cin = enc.shape[-1] + dec.shape[-1]
+    kernel = self.param('kernel',
+                        self.conv_init or nn.initializers.lecun_normal(),
+                        (k, k, cin, self.num_filters))
+    bias = self.param('bias', self.bias_init or nn.initializers.zeros,
+                      (self.num_filters,)) if self.use_bias else None
+
+    dt = self.dtype or dec.dtype
+    kern = kernel.astype(dt)
+    ce = enc.shape[-1]
+
+    def half(x, kern_half):
+      conv = lambda p: jax.lax.conv_general_dilated(
+          p, kern_half, (1, 1), 'VALID',
+          dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+      return same_conv(conv, x.astype(dt), k, self.padding)
+
+    y = half(enc, kern[:, :, :ce]) + half(dec, kern[:, :, ce:])
+    if bias is not None:
+      y = y + bias.astype(dt)
+    return y
+
+
 class ConvEncodeUnit(nn.Module):
   in_channels: int  # informational; flax infers
   num_layers: int
@@ -188,6 +242,20 @@ class ConvEncodeUnit(nn.Module):
     x = inp
     use_bias = not self.use_bn
     for i in range(self.num_layers):
+      if i == 0 and isinstance(x, tuple):
+        # Unmaterialized skip-concat from ConvDecodeUnit (see
+        # _SplitSumConv) — same 'conv_0' parameter tree as the dense path.
+        x = _SplitSumConv(self.num_filters, self.kernel_size, use_bias,
+                          self.padding, conv_init=self.conv_init,
+                          bias_init=self.bias_init, dtype=self.dtype,
+                          name='conv_0')(x[0], x[1])
+        if self.use_bn:
+          x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, scale_init=self.bn_init,
+                           dtype=self.dtype, name='bn_0')(x)
+        if self.use_act:
+          x = nn.leaky_relu(x, negative_slope=self.relu_leakiness)
+        continue
       conv = nn.Conv(self.num_filters, (self.kernel_size, self.kernel_size),
                      strides=1, padding='VALID', use_bias=use_bias,
                      kernel_init=self.conv_init, bias_init=self.bias_init,
@@ -280,7 +348,15 @@ class ConvDecodeUnit(nn.Module):
 
     if encode_path is not None:
       x = _pad_to_target(x, encode_path)
-      x = jnp.concatenate([encode_path, x], axis=-1)
+      if (_SPLIT_MERGE_CONV and self.act_upsampling_only and
+          self.num_layers > 0):
+        # Keep the skip-concat unmaterialized: the decode unit's first
+        # conv consumes the (encode, decode) pair directly (exact —
+        # conv is linear in input channels). Only valid when nothing
+        # elementwise (merge BN/act) touches the concatenated tensor.
+        x = (encode_path, x)
+      else:
+        x = jnp.concatenate([encode_path, x], axis=-1)
 
     if not self.act_upsampling_only:
       if self.use_bn:
@@ -291,8 +367,10 @@ class ConvDecodeUnit(nn.Module):
         x = nn.leaky_relu(x, negative_slope=self.relu_leakiness)
 
     if self.num_layers > 0:
+      in_ch = sum(p.shape[-1] for p in x) if isinstance(x, tuple) \
+          else x.shape[-1]
       x = ConvEncodeUnit(
-          x.shape[-1], self.num_layers, self.num_filters, k,
+          in_ch, self.num_layers, self.num_filters, k,
           self.relu_leakiness, self.use_bn, downsample=False,
           use_act=self.use_act, padding=self.padding,
           conv_init=self.conv_init, bias_init=self.bias_init,

@@ -264,3 +264,57 @@ def test_discriminator_final_layer_bias_init():
       x, train=False)
   np.testing.assert_allclose(
       np.asarray(variables['params']['final_conv']['bias']), -2.5)
+
+
+def test_split_merge_conv_equals_concat(monkeypatch, rng):
+  """The unmaterialized skip-merge lowering (_SplitSumConv) is exactly the
+  concat+conv it replaces: same parameter tree, same outputs."""
+  from csmri_refinement_tpu.models import unet as unet_mod
+
+  model = UNET(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
+               encode_filters=[8, 16, 32], decode_filters=[16, 8],
+               kernel_size=4, upsampling_mode='nn-resize-conv',
+               output_activation='none', padding='reflection',
+               decoder_act_upsampling_only=True)
+  x = jnp.asarray(rng.randn(2, 32, 32, 2).astype(np.float32))
+
+  monkeypatch.setattr(unet_mod, '_SPLIT_MERGE_CONV', True)
+  variables = model.init(jax.random.PRNGKey(0), x)
+  y_split = model.apply(variables, x)
+
+  monkeypatch.setattr(unet_mod, '_SPLIT_MERGE_CONV', False)
+  variables_dense = model.init(jax.random.PRNGKey(0), x)
+  # identical parameter trees (names, shapes, values)
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+      variables, variables_dense)
+  y_dense = model.apply(variables, x)
+
+  np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_dense),
+                             atol=2e-5)
+
+
+def test_split_merge_conv_equals_concat_with_bn_train(monkeypatch, rng):
+  """Split path under use_bn + train mode (mutable batch_stats)."""
+  from csmri_refinement_tpu.models import unet as unet_mod
+
+  model = UNET(num_inputs=2, num_outputs=2, num_layers_per_scale=1,
+               encode_filters=[8, 16], decode_filters=[8],
+               kernel_size=3, upsampling_mode='transposed',
+               output_activation='none', use_bn=True,
+               decoder_act_upsampling_only=True)
+  x = jnp.asarray(rng.randn(2, 16, 16, 2).astype(np.float32))
+
+  outs = {}
+  for flag in (True, False):
+    monkeypatch.setattr(unet_mod, '_SPLIT_MERGE_CONV', flag)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    y, mut = model.apply(variables, x, train=True,
+                         mutable=['batch_stats'])
+    outs[flag] = (y, mut)
+  np.testing.assert_allclose(np.asarray(outs[True][0]),
+                             np.asarray(outs[False][0]), atol=2e-5)
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                              atol=2e-5),
+      outs[True][1], outs[False][1])
