@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from csmri_refinement_tpu.ops import fft
 
-# DC backend selection for square images: 'auto' picks the batched-GEMM
+# DC backend selection: 'auto' picks the batched-GEMM
 # split-real path on TPU-like backends (1.05 ms vs 2.37 ms for the Pallas
 # per-image kernel and 3.3 ms for the complex matmul-DFT path at B128@256²
 # on v5e — the big einsum GEMMs keep the MXU busy across the whole batch,
@@ -34,7 +34,11 @@ from csmri_refinement_tpu.ops import fft
 _FUSED_MODE = os.environ.get('CSMRI_TPU_FUSED_DC', 'auto')
 
 
-def _square_mode(h, w, noise_lvl):
+def _gemm_mode(h, w, noise_lvl):
+  """Pick the DC lowering: 'einsum' (batched GEMM split-real, any
+  rectangular shape), 'pallas' (per-image fused kernel, square only), or
+  None (complex matmul-DFT composition — CPU/GPU backends and the noisy
+  merge variant, which only that path implements)."""
   if noise_lvl is not None:
     return None
   if _FUSED_MODE == '1':
@@ -182,7 +186,7 @@ def data_consistency(x, k0, mask, noise_lvl=None):
   -------
   (B, H, W, 2) float image with sampled k-space lines restored.
   """
-  mode = _square_mode(x.shape[-3], x.shape[-2], noise_lvl)
+  mode = _gemm_mode(x.shape[-3], x.shape[-2], noise_lvl)
   if mode == 'einsum':
     return _dc_einsum(x, k0.astype(jnp.float32), mask)
   if mode == 'pallas':

@@ -24,9 +24,9 @@ SIZE = 256
 ITERS = 8
 
 
-def timed(fn, x, iters=ITERS):
+def timed(fn, x, iters=ITERS, args=()):
   from csmri_refinement_tpu.utils.profiling import timed_scan
-  return timed_scan(fn, x, iters=iters)
+  return timed_scan(fn, x, iters=iters, args=args)
 
 
 def report(name, secs, flops=None):
@@ -66,21 +66,19 @@ def conv_probes():
 
 def dc_probe():
   from csmri_refinement_tpu.ops import dc as dc_ops
-  x = jax.jit(lambda: jax.random.normal(
-      jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 2), jnp.float32))()
-  k0 = x * 0.5
-  mask = jnp.ones((BATCH, SIZE, SIZE, 1), jnp.float32)
-  report('DC fused @{}'.format(SIZE),
-         timed(lambda v: dc_ops.data_consistency(v, k0, mask), x))
-
-  for s in (256, 512):
-    xs = jax.jit(lambda s=s: jax.random.normal(
-        jax.random.PRNGKey(1), (32, s, s, 2), jnp.float32))()
-    k0s = xs * 0.5
-    ms = jnp.ones((32, s, s, 1), jnp.float32)
-    report('DC fused B32 @{}'.format(s),
-           timed(lambda v, k0s=k0s, ms=ms: dc_ops.data_consistency(
-               v, k0s, ms), xs))
+  # all array prep jitted (no-eager rule); big operands go through args=
+  # (closure constants overflow the tunneled remote-compile endpoint)
+  make = jax.jit(lambda b, s: jax.random.normal(
+      jax.random.PRNGKey(1), (b, s, s, 2), jnp.float32),
+      static_argnums=(0, 1))
+  half = jax.jit(lambda v: 0.5 * v)
+  for b, s in ((BATCH, SIZE), (32, 256), (32, 512)):
+    xs = make(b, s)
+    k0s = half(xs)
+    ms = jnp.ones((b, s, s, 1), jnp.float32)
+    report('DC fused B{} @{}'.format(b, s),
+           timed(lambda v, k, m: dc_ops.data_consistency(v, k, m), xs,
+                 args=(k0s, ms)))
 
 
 def model_probes(size=SIZE, batch=BATCH):
@@ -97,7 +95,8 @@ def model_probes(size=SIZE, batch=BATCH):
   mask = jnp.ones((batch, size, size, 1), jnp.float32)
   rv = jax.jit(recnet.init)(jax.random.PRNGKey(0), inp, ksp, mask)
   report('RecNet 3x3x32 @{} B{}'.format(size, batch),
-         timed(lambda x: recnet.apply(rv, x, ksp, mask), inp))
+         timed(lambda x, k, m: recnet.apply(rv, x, k, m), inp,
+               args=(ksp, mask)))
 
   unet = UNET(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
               encode_filters=[32, 64, 128], decode_filters=[64, 32],
@@ -112,8 +111,8 @@ def model_probes(size=SIZE, batch=BATCH):
   fwd, variables, batch_for = build_forward(size, 'bf16')
   b = batch_for(batch)
   report('flagship full @{} B{}'.format(size, batch),
-         timed(lambda x: fwd(variables, x, b['kspace'], b['mask']),
-               b['inp']))
+         timed(lambda x, k, m: fwd(variables, x, k, m), b['inp'],
+               args=(b['kspace'], b['mask'])))
 
 
 def main(argv):
@@ -128,7 +127,8 @@ def main(argv):
   if 's2d' in probes:
     s2d_probes()
   if 'model512' in probes:
-    model_probes(512, 32)
+    # batch 128: throughput is ∝ min(batch, 128) on this chip (NOTES.md)
+    model_probes(512, 128)
 
 
 
@@ -141,10 +141,10 @@ def s2d_probes():
       ('k3 C128 @128 (UNet s0 s2d)', 3, 128, 128, 128),
       ('k3 C256 @64  (UNet s1 s2d)', 3, 256, 256, 64),
       ('k2 C128in->8out @128 (RecNet tail s2d)', 2, 128, 8, 128),
-      ('k4 C32 @256 batch256', 4, 32, 32, 256),
+      ('k4 C32 @256', 4, 32, 32, 256),
   ]
   for name, k, cin, cout, size in shapes:
-    batch = BATCH if size != 256 else BATCH
+    batch = BATCH
     x = jax.jit(lambda cin=cin, size=size, batch=batch: jax.random.normal(
         jax.random.PRNGKey(1), (batch, size, size, cin), jnp.bfloat16))()
     conv = nn.Conv(cout, (k, k), padding='SAME', dtype=jnp.bfloat16)

@@ -2,8 +2,13 @@
 """Summarize per-slice metric CSVs across runs.
 
 Framework-native replacement for the reference's results summarizer
-(/root/reference/data/reconstruction/summarize_results.py — same capability
-set, redesigned around a pandas-DataFrame API):
+(/root/reference/data/reconstruction/summarize_results.py), redesigned
+around a pandas-DataFrame API rather than ported. Kept: run grouping,
+mean ± std and percentile summaries, Wilcoxon/t significance testing, SIS
+normalization, text/LaTeX/CSV output, and the two-group difference row.
+Dropped (no replacement): the reference's --order/--filter/--no-name
+flags and verbose per-run listings — grouping is by filename convention
+and selection by shell globbing instead.
 
 * group repeat runs of the same experiment (``<prefix>_<name>_<date>.csv``
   naming, or one group per file),
@@ -124,11 +129,11 @@ def summarize(csv_paths, metric, percentiles=(0, 25, 50, 75, 100),
   table = pd.DataFrame(rows).set_index('group')
 
   if 'segscore' in metric.lower():
-    # SIS = segscore / dice-on-GT-reconstructions
+    # SIS = segscore / dice-on-GT-reconstructions; std and percentiles
+    # scale by the same constant.
     for col in ['mean', 'std'] + \
                ['p{:g}'.format(p) for p in percentiles]:
       table[col] = table[col] / sis_gt_perf
-    table['std'] = 0.0  # per-run stds are not meaningful after scaling
 
   if stest_mode and len(grouped) > 1:
     pvals = significance_matrix(grouped, stest_mode)
@@ -138,6 +143,15 @@ def summarize(csv_paths, metric, percentiles=(0, 25, 50, 75, 100),
       sig.append(bool((pvals.loc[name, others] <
                        significance_level).all()))
     table['significant'] = sig
+
+  if len(grouped) == 2:
+    # Two-group comparison: append the first-minus-second difference row
+    # (the reference emitted the same for its base-vs-ours workflow).
+    num_cols = [c for c in table.columns
+                if table[c].dtype.kind in 'fi' and c not in
+                ('n_runs', 'n_slices')]
+    diff = table.iloc[0][num_cols] - table.iloc[1][num_cols]
+    table.loc['diff'] = {c: float(diff[c]) for c in num_cols}
   return table
 
 
@@ -151,8 +165,9 @@ def format_table(table, metric, fmt='plain', precision=None, show_std=True,
   if fmt == 'csv':
     return table.to_csv()
 
-  best = (table['mean'].idxmax() if higher_is_better(metric)
-          else table['mean'].idxmin())
+  groups_only = table.loc[[i for i in table.index if i != 'diff'], 'mean']
+  best = (groups_only.idxmax() if higher_is_better(metric)
+          else groups_only.idxmin())
   num = '{{:.{}f}}'.format(precision).format
   lines = []
   width = max(len(str(i)) for i in table.index) + 2
@@ -211,7 +226,7 @@ def main(argv):
                        show_std=not args.no_std,
                        show_percentiles=args.percentiles))
     if args.pvalues and args.stest:
-      samples = load_metric_samples(csvs, metric)
+      samples = load_metric_samples(csvs, metric)  # cheap: small CSVs
       grouped = _group_samples(samples, group_runs(samples))
       print('\npairwise {} p-values:'.format(args.stest))
       print(significance_matrix(grouped, args.stest).round(4))

@@ -235,22 +235,28 @@ def test_summarize_api_grouping_sis_and_significance(tmp_path):
     for date in ('20200101', '20200102'):
       p = str(tmp_path / 'scarseg_{}_{}.csv'.format(name, date))
       pd.DataFrame({'psnr': 30 + off + rng.randn(30) * 0.2,
-                    'segscore': np.full(30, 0.75 + off / 100)}).to_csv(
-          p, index=False)
+                    'segscore': 0.75 + off / 100 +
+                    rng.randn(30) * 1e-4}).to_csv(p, index=False)
       paths.append(p)
 
   table = sr.summarize(paths, 'psnr', stest_mode='wilcoxon')
-  assert list(table.index) == ['base', 'ours']  # repeats grouped
-  assert (table['n_runs'] == 2).all()
+  # repeats grouped; two-group comparisons append a difference row
+  assert list(table.index) == ['base', 'ours', 'diff']
+  groups = table.loc[['base', 'ours']]
+  assert (groups['n_runs'] == 2).all()
   assert abs(table.loc['ours', 'mean'] - table.loc['base', 'mean'] - 2.0) \
       < 0.2
-  assert table['significant'].all()  # clearly separated groups
+  np.testing.assert_allclose(
+      table.loc['diff', 'mean'],
+      table.loc['base', 'mean'] - table.loc['ours', 'mean'], atol=1e-9)
+  assert groups['significant'].all()  # clearly separated groups
 
   sis = sr.summarize(paths, 'segscore')
   np.testing.assert_allclose(sis.loc['base', 'mean'],
-                             0.75 / sr.REC_DICE_GT, atol=1e-6)
+                             0.75 / sr.REC_DICE_GT, atol=1e-4)
   np.testing.assert_allclose(sis.loc['ours', 'mean'],
-                             0.77 / sr.REC_DICE_GT, atol=1e-6)
+                             0.77 / sr.REC_DICE_GT, atol=1e-4)
+  assert sis.loc['base', 'std'] > 0  # std scales, not zeroed
 
   latex = sr.format_table(table, 'psnr', fmt='latex')
   assert r'\mathbf' in latex and 'ours' in latex
