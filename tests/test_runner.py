@@ -165,3 +165,19 @@ def test_resume_first_epoch_uses_scheduled_lr(tmp_path):
   runner2.train_epoch(loader, 5)
   # epoch 5 → scheduler(4), past decay step 2 → 0.001 * 0.1
   assert abs(get_learning_rate(runner2.state['opt_state']) - 1e-4) < 1e-9
+
+
+def test_validation_metrics_batch_size_invariant():
+  """Evaluation batch size does not change validation metrics: fixed val
+  masks are keyed per slice index (not per batch), unlike the reference's
+  stateful mask rotation which forced batch_size=1 (validate.py:18 there).
+  Backs validate.py's --batch-size option."""
+  conf = _conf()
+  runner = build_runner(conf, 'standard', 'train')
+  val_set = load_dataset(conf, '/tmp', 'Synthetic', 'val')
+
+  _, _, m1 = runner.validate(DataLoader(val_set, 1, shuffle=False))
+  _, _, m4 = runner.validate(DataLoader(val_set, 4, shuffle=False))
+  assert set(m1) == set(m4)
+  for name in m1:
+    np.testing.assert_allclose(m1[name].value, m4[name].value, rtol=1e-4)

@@ -47,6 +47,12 @@ parser.add_argument('--conf', nargs='+',
                     help='Optional config values to set')
 parser.add_argument('--platform', default=None, choices=['cpu', 'tpu'],
                     help='Force a JAX platform (default: environment choice)')
+parser.add_argument('-b', '--batch-size', type=int, default=1,
+                    help='Evaluation batch size (default 1 for parity with '
+                         'the reference, whose stateful fixed masks forced '
+                         'it; masks here are keyed per slice index, so any '
+                         'batch size gives identical results — use e.g. '
+                         '128 on TPU for throughput)')
 parser.add_argument('config', help='Config file to use')
 parser.add_argument('checkpoint', help='Checkpoint to use weights from')
 parser.add_argument('files_or_dirs', nargs='*',
@@ -132,7 +138,7 @@ def main(argv):
 
   for dataset in datasets:
     logging.info('Evaluating dataset %s', dataset.name)
-    loader = DataLoader(dataset, batch_size=1,
+    loader = DataLoader(dataset, batch_size=args.batch_size,
                         num_workers=DEFAULT_NUM_WORKERS, shuffle=False,
                         num_samples=num_samples)
 
