@@ -28,22 +28,37 @@ class MetricFunction:
     self.target_key = target_key
 
   def __call__(self, prediction, target, transform=True):
+    import numpy as np
     if isinstance(prediction, dict):
       prediction = prediction[self.pred_key]
     if isinstance(target, dict):
       target = target[self.target_key]
 
-    if transform and self.transform is not None:
-      prediction, target = self.transform(prediction, target)
+    # Fetch to host ONCE, then transform + score each example on small
+    # (1, H, W, C) arrays. Eagerly transforming/slicing the full batched
+    # device output is unsafe on tunneled TPU backends: at batch 128
+    # (~33 MB arrays) it silently corrupts values (measured: SSIM 0.8688
+    # vs the correct 0.9333, deterministic, while batch ≤16 agrees) and a
+    # bare eager op on that size can hang outright. Per-example transforms
+    # are semantically identical — every output transform is per-example
+    # by construction (magnitude/clamp, softmax/argmax).
+    prediction = np.asarray(prediction)
+    if target is not None:
+      target = np.asarray(target)
+
+    def apply_one(p, t):
+      if transform and self.transform is not None:
+        p, t = self.transform(p, t)
+      return self.metric_fn(p, t)
 
     if prediction.ndim in (3, 4):
       if target is not None:
-        values = (self.metric_fn(p[None], t[None])
+        values = (apply_one(p[None], t[None])
                   for p, t in zip(prediction, target))
       else:
-        values = (self.metric_fn(p[None], None) for p in prediction)
+        values = (apply_one(p[None], None) for p in prediction)
     else:
-      values = [self.metric_fn(prediction, target)]
+      values = [apply_one(prediction, target)]
 
     values = (v for v in values if v is not None)
     return self.metric_type(values)

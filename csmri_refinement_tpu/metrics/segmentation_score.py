@@ -61,7 +61,9 @@ class SegmentationScore:
       variables = {'params': state['params']}
       if state['batch_stats']:
         variables['batch_stats'] = state['batch_stats']
-      logits = model.apply(variables, x, train=False)
+      # eval fidelity: see runner._make_val_step (bf16x3 for f32 models)
+      with jax.default_matmul_precision('high'):
+        logits = model.apply(variables, x, train=False)
       if isinstance(logits, dict):
         logits = logits['pred']
       return jax.numpy.argmax(logits, axis=-1)

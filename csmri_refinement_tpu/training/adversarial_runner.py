@@ -181,7 +181,11 @@ class AdversarialRunner(BaseRunner):
       self.val_disc_input_fn = None
       self.pool_size = None
 
-    self._val_step_fn = jax.jit(self._val_step_impl)
+    def _val_step_hp(gen_state, disc_state, batch):
+      # eval fidelity: see runner._make_val_step (bf16x3 for f32 models)
+      with jax.default_matmul_precision('high'):
+        return self._val_step_impl(gen_state, disc_state, batch)
+    self._val_step_fn = jax.jit(_val_step_hp)
 
   # -- model application helpers ------------------------------------------------
 
@@ -597,9 +601,12 @@ class AdversarialRunner(BaseRunner):
     batch = self._device_put(batch)
     self._ensure_initialized(batch)
     if not hasattr(self, '_predict_fn'):
-      self._predict_fn = jax.jit(lambda state, b: self._apply_net(
-          self.gen, state['params'], state['batch_stats'],
-          self._gen_inputs(b), False, None, self.gen_has_train_arg)[0])
+      def _predict(state, b):
+        with jax.default_matmul_precision('high'):  # eval fidelity
+          return self._apply_net(
+              self.gen, state['params'], state['batch_stats'],
+              self._gen_inputs(b), False, None, self.gen_has_train_arg)[0]
+      self._predict_fn = jax.jit(_predict)
     return self._predict_fn(self.gen_state, batch)
 
   def get_named_outputs(self, data):

@@ -200,9 +200,14 @@ class Runner(BaseRunner):
 
     @jax.jit
     def step(state, batch):
-      out, _ = self._apply_model(state['params'], state['batch_stats'],
-                                 batch, False, None)
-      losses = {name: crit(out, batch) for name, crit in criteria.items()}
+      # Evaluation fidelity: TPU's default matmul/conv precision is a
+      # single bf16 pass even for f32 models — measured up to 0.065 SSIM
+      # error, batch-shape dependent (NOTES.md round 2). 'high' (bf16x3)
+      # restores f32-grade eval; for bf16 models it changes nothing.
+      with jax.default_matmul_precision('high'):
+        out, _ = self._apply_model(state['params'], state['batch_stats'],
+                                   batch, False, None)
+        losses = {name: crit(out, batch) for name, crit in criteria.items()}
       return out, losses
 
     return step
@@ -253,8 +258,11 @@ class Runner(BaseRunner):
     batch = self._device_put(batch)
     self._ensure_initialized(batch)
     if not hasattr(self, '_predict_fn'):
-      self._predict_fn = jax.jit(lambda state, b: self._apply_model(
-          state['params'], state['batch_stats'], b, False, None)[0])
+      def _predict(state, b):
+        with jax.default_matmul_precision('high'):  # see _make_val_step
+          return self._apply_model(state['params'], state['batch_stats'],
+                                   b, False, None)[0]
+      self._predict_fn = jax.jit(_predict)
     return self._predict_fn(self.state, batch)
 
   # -- bookkeeping ---------------------------------------------------------------
