@@ -227,6 +227,15 @@ def main(argv):
   dtype = args.dtype
   try:
     if args.profile:
+      import jax
+      if jax.default_backend() not in ('cpu', 'gpu'):
+        # jax.profiler device tracing HANGS on the tunneled TPU backend
+        # (NOTES.md "Profiler status") — refuse rather than wedge the run.
+        sys.stderr.write(
+            'bench: --profile refused on backend {!r} (device tracing '
+            'hangs through the tunnel; use --components / timed_scan '
+            'instead, or --platform cpu)\n'.format(jax.default_backend()))
+        sys.exit(2)
       from csmri_refinement_tpu.utils.profiling import trace
       with trace(args.profile):
         slices_per_sec = run_bench(args.batch_size, args.image_size,

@@ -42,9 +42,9 @@ class MetricFunction:
     # bare eager op on that size can hang outright. Per-example transforms
     # are semantically identical — every output transform is per-example
     # by construction (magnitude/clamp, softmax/argmax).
-    prediction = np.asarray(prediction)
+    prediction = _fetch_f32(prediction)
     if target is not None:
-      target = np.asarray(target)
+      target = _fetch_f32(target)
 
     def apply_one(p, t):
       if transform and self.transform is not None:
@@ -62,6 +62,23 @@ class MetricFunction:
 
     values = (v for v in values if v is not None)
     return self.metric_type(values)
+
+
+def _fetch_f32(array):
+  """Device→host fetch that never transfers bf16.
+
+  bf16 device→host transfers are UNIMPLEMENTED on the tunneled TPU backend
+  (NOTES.md); models whose eval output stays bf16 must be cast on device
+  (under jit — sizable eager ops hang there) before the fetch.
+  """
+  import numpy as np
+  if isinstance(array, np.ndarray):
+    return array
+  import jax
+  import jax.numpy as jnp
+  if getattr(array, 'dtype', None) == jnp.bfloat16:
+    array = jax.jit(lambda v: v.astype(jnp.float32))(array)
+  return np.asarray(array)
 
 
 def _get_segmentation_score_metric(conf, metric_name):
@@ -158,6 +175,17 @@ def get_metric_fn(conf, metric_name, mode,
     pred_key = metric_conf.get('pred_key', pred_key)
     target_key = metric_conf.get('target_key', 'label')
     metric_conf = dict(metric_conf)
+    if 'transform' not in metric_conf or 'target_key' not in metric_conf:
+      # NOTE: these defaults deliberately diverge from the reference
+      # get_metric_fn (which would apply the application magnitude
+      # transform and target_key='target' — unusable for SIS); log so a
+      # config relying on reference behavior can spot the difference.
+      import logging
+      logging.getLogger(__name__).info(
+          'segmentation_score: defaulting target_key=%r transform=%r '
+          '(diverges from reference defaults by design; override via '
+          'segmentation_score_metric)', target_key,
+          metric_conf.get('transform', 'none'))
     metric_conf.setdefault('transform', 'none')
   else:
     pred_key = metric_conf.get('pred_key', pred_key)

@@ -76,6 +76,74 @@ class VGG19(nn.Module):
     return out
 
 
+def expected_vgg19_artifact():
+  """The weights-artifact contract: {torch key: shape} for every tensor a
+  converted ``vgg19.npz`` must contain.
+
+  Source artifact: torchvision ``vgg19`` IMAGENET1K_V1
+  (``vgg19-dcbb9e9d.pth`` — torchvision names release files with the
+  first 8 hex chars of their sha256, so the source download is integrity-
+  checked by torchvision itself). The conversion
+  (utils/torch_import.convert_vgg19) embeds a ``__sha256__`` content hash
+  computed by :func:`vgg19_content_hash`; re-converting the same source on
+  any machine reproduces it, making weight provenance verifiable offline.
+  """
+  shapes = {}
+  conv_idx, cin = 0, 3
+  for item in _CFG:
+    if item == 'M':
+      continue
+    ti = _torch_layer_index(conv_idx)
+    shapes['features.{}.weight'.format(ti)] = (item, cin, 3, 3)  # OIHW
+    shapes['features.{}.bias'.format(ti)] = (item,)
+    cin = item
+    conv_idx += 1
+  return shapes
+
+
+def vgg19_content_hash(raw):
+  """Deterministic sha256 over the weight values (key-sorted f32 bytes).
+
+  Stable across numpy versions / npz compression — hashes content, not
+  container bytes.
+  """
+  import hashlib
+  h = hashlib.sha256()
+  for key in sorted(expected_vgg19_artifact()):
+    h.update(np.ascontiguousarray(np.asarray(raw[key], np.float32)).tobytes())
+  return h.hexdigest()
+
+
+def validate_vgg19_raw(raw, path):
+  """Fail loudly when a weights file does not match the artifact contract."""
+  problems = []
+  for key, shape in expected_vgg19_artifact().items():
+    if key not in raw:
+      problems.append('missing {}'.format(key))
+    elif tuple(np.asarray(raw[key]).shape) != shape:
+      problems.append('{}: shape {} != expected {}'.format(
+          key, tuple(np.asarray(raw[key]).shape), shape))
+  if problems:
+    raise ValueError(
+        'VGG19 weights file {!r} does not match the torchvision vgg19 '
+        'artifact contract (see models/vgg.py:expected_vgg19_artifact):\n  '
+        .format(path) + '\n  '.join(problems))
+  if '__sha256__' in raw:
+    want = str(np.asarray(raw['__sha256__']).item())
+    got = vgg19_content_hash(raw)
+    if got != want:
+      raise ValueError(
+          'VGG19 weights file {!r} failed its embedded content hash: '
+          'sha256 {} != recorded {} — file corrupted or edited after '
+          'conversion'.format(path, got, want))
+    logging.info('VGG19 weights content hash verified: %s', want)
+  else:
+    logging.warning(
+        'VGG19 weights file %s has no embedded __sha256__ manifest '
+        '(pre-contract conversion?) — shapes validated, content '
+        'unverified; re-convert with utils.torch_import to embed it', path)
+
+
 def load_vgg19_params(weights_path=None, conf_path=None, rng_seed=0,
                       allow_random_init=False):
   """Initialize VGG19 params, from a weights file when available.
@@ -108,6 +176,7 @@ def load_vgg19_params(weights_path=None, conf_path=None, rng_seed=0,
     weights_path = os.path.join(os.path.dirname(conf_path), weights_path)
 
   raw = _load_torch_style_weights(weights_path)
+  validate_vgg19_raw(raw, weights_path)
   conv_idx = 0
   new_params = dict(params)
   for layer_i, item in enumerate(_CFG):
@@ -115,8 +184,6 @@ def load_vgg19_params(weights_path=None, conf_path=None, rng_seed=0,
       continue
     w_key = 'features.{}.weight'.format(_torch_layer_index(conv_idx))
     b_key = 'features.{}.bias'.format(_torch_layer_index(conv_idx))
-    if w_key not in raw:
-      raise ValueError('Missing {} in VGG weights file'.format(w_key))
     w = np.asarray(raw[w_key])  # OIHW
     b = np.asarray(raw[b_key])
     name = 'conv_{}'.format(conv_idx)

@@ -281,7 +281,16 @@ def convert_vgg19(state_dict_or_path, out_npz_path):
   if not features:
     raise ValueError('No features.* keys found — not a torchvision VGG '
                      'state dict')
+  # Validate against the artifact contract and embed a deterministic
+  # content hash so any later load can verify weight provenance offline
+  # (models/vgg.py:validate_vgg19_raw).
+  from csmri_refinement_tpu.models.vgg import (validate_vgg19_raw,
+                                               vgg19_content_hash)
+  digest = vgg19_content_hash(features)
+  features['__sha256__'] = np.asarray(digest)
+  validate_vgg19_raw(features, out_npz_path)
   np.savez(out_npz_path, **features)
+  print('vgg19 content sha256:', digest)
   return sorted(features)
 
 

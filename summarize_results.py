@@ -102,7 +102,7 @@ def significance_matrix(grouped, mode='wilcoxon'):
 
 def summarize(csv_paths, metric, percentiles=(0, 25, 50, 75, 100),
               sis_gt_perf=REC_DICE_GT, stest_mode=None,
-              significance_level=0.05):
+              significance_level=0.05, with_diff=True):
   """Build the summary table for one metric.
 
   Returns a DataFrame indexed by experiment group with columns
@@ -144,9 +144,12 @@ def summarize(csv_paths, metric, percentiles=(0, 25, 50, 75, 100),
                        significance_level).all()))
     table['significant'] = sig
 
-  if len(grouped) == 2:
+  if len(grouped) == 2 and with_diff:
     # Two-group comparison: append the first-minus-second difference row
     # (the reference emitted the same for its base-vs-ours workflow).
+    # Skippable (with_diff=False) because the row leaves n_runs/n_slices/
+    # significant as NaN — a schema change downstream CSV consumers may
+    # not want.
     num_cols = [c for c in table.columns
                 if table[c].dtype.kind in 'fi' and c not in
                 ('n_runs', 'n_slices')]
@@ -204,6 +207,10 @@ def build_parser():
                       help='pairwise significance test between groups')
   parser.add_argument('--slvl', type=float, default=0.05,
                       help='significance level')
+  parser.add_argument('--diff', action='store_true',
+                      help='include the two-group difference row in csv '
+                           'output (always on for plain/latex; the row '
+                           'leaves n_runs/n_slices/significant empty)')
   parser.add_argument('--pvalues', action='store_true',
                       help='also print the pairwise p-value matrix')
   parser.add_argument('--sis-gt-perf', type=float, default=REC_DICE_GT,
@@ -220,7 +227,8 @@ def main(argv):
     print(metric)
     table = summarize(csvs, metric, sis_gt_perf=args.sis_gt_perf,
                       stest_mode=args.stest,
-                      significance_level=args.slvl)
+                      significance_level=args.slvl,
+                      with_diff=args.format != 'csv' or args.diff)
     print(format_table(table, metric, fmt=args.format,
                        precision=args.precision,
                        show_std=not args.no_std,
