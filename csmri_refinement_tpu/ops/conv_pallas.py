@@ -123,11 +123,19 @@ class _LayerPlan(NamedTuple):
 
 
 def _plan(layers, width, pad_mode):
-  plans = []
-  for layer in layers:
-    kh, kw, cin, cout = layer.kernel.shape
+  shapes = [layer.kernel.shape for layer in layers]
+  for kh, kw, _, _ in shapes:
     assert kh == kw and kh in (3, 4), 'fused chain supports k in (3, 4)'
-    p = _pick_p(cin, width)
+  ps = [_pick_p(cin, width) for _, _, cin, _ in shapes]
+  # Chain repacks must only ever SPLIT lanes (Mosaic rejects the merging
+  # (A, L) -> (A/2, 2L) shape cast): force P non-increasing along the
+  # chain, at a utilization cost on widening-P layers (e.g. 64->32 runs
+  # at P=4/50% instead of P=2/67%).
+  for i in range(len(ps) - 2, -1, -1):
+    ps[i] = max(ps[i], ps[i + 1])
+  plans = []
+  for layer, p in zip(layers, ps):
+    kh, kw, cin, cout = layer.kernel.shape
     g = width // p
     plans.append(_LayerPlan(cin, cout, kw, p, g, _n_ops(p, kw),
                             layer.leakiness, _edge_fixups(p, kw, g, pad_mode)))

@@ -249,6 +249,35 @@ def convert_discriminator(state_dict, num_filters_per_layer,
   return {'params': params, 'batch_stats': stats}
 
 
+def convert_refinement_wrapper(state_dict, recnet_kwargs, unet_kwargs):
+  """Reference RefinementWrapper state dict → flax variables for
+  models.refinement_wrapper.RefinementWrapper (frozen RecNet +
+  learnable UNET composite, /root/reference/models/refinement_wrapper.py).
+
+  recnet_kwargs: dict(num_blocks=, num_convs=) for the pretrained subtree;
+  unet_kwargs: the convert_unet keyword args for the learnable subtree.
+  """
+  def sub(prefix):
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in state_dict.items()
+            if k.startswith(prefix)}
+
+  pre = convert_recnet(sub('pretrained_model.'), **recnet_kwargs)
+  learn = convert_unet(sub('learnable_model.'), **unet_kwargs)
+  params = {
+      'pretrained_model': pre['params'],
+      'learnable_model': learn['params'],
+  }
+  if 'scale' in state_dict:
+    params['scale'] = _np(state_dict['scale'])
+  stats = {}
+  if pre.get('batch_stats'):
+    stats['pretrained_model'] = pre['batch_stats']
+  if learn.get('batch_stats'):
+    stats['learnable_model'] = learn['batch_stats']
+  return {'params': params, 'batch_stats': stats}
+
+
 def convert_vgg19(state_dict_or_path, out_npz_path):
   """torchvision ``vgg19`` weights (.pth state dict or loadable file) →
   the ``.npz`` of ``features.{i}.weight/bias`` arrays that

@@ -364,3 +364,80 @@ class TorchVGG19Features(nn.Module):
       x = layer(x)
     outs.append(x)  # block 5 = the pool-only block after the last conv
     return outs
+
+
+# --------------------------------------------------- RefinementWrapper
+
+
+def _scale_torch(tensor):
+  """Per-example/channel min-max scale to (-1, 1)
+  (refinement_wrapper.py:51-73)."""
+  b, c, h, w = tensor.shape
+  out = tensor.reshape(b, c, h * w)
+  minimum = out.min(dim=2, keepdim=True).values
+  out = out - minimum
+  maximum = out.max(dim=2, keepdim=True).values
+  out = out / maximum
+  out = out * 2 - 1
+  return out.view(b, c, h, w), minimum, maximum
+
+
+def _unscale_torch(tensor, minimum, maximum):
+  """(-1, 1) -> original range (refinement_wrapper.py:76-92)."""
+  b, c, h, w = tensor.shape
+  out = tensor.reshape(b, c, h * w)
+  out = (out + 1) / 2
+  out = out * maximum + minimum
+  return out.view(b, c, h, w)
+
+
+class TorchRefinementWrapper(nn.Module):
+  """Composite generator: frozen pretrained reconstruction net + learnable
+  residual U-Net combined by add / real-penalty-add
+  (refinement_wrapper.py:95-220, combine logic :164-194)."""
+
+  def __init__(self, pretrained_model, learnable_model,
+               mode='real-penalty-add', input_mode='output'):
+    super().__init__()
+    self.pretrained_model = pretrained_model
+    self.learnable_model = learnable_model
+    self.mode = mode
+    self.input_mode = input_mode
+    for p in self.pretrained_model.parameters():
+      p.requires_grad = False
+    if mode == 'real-penalty-add':
+      self.scale = nn.Parameter(torch.zeros(1))
+
+  def _learnable_input(self, inp, out_pretrained):
+    if self.input_mode == 'input':
+      return inp
+    if self.input_mode == 'output':
+      return out_pretrained
+    return torch.cat([inp, out_pretrained], dim=1)
+
+  def forward(self, inp, kspace=None, mask=None):
+    if kspace is None:
+      out_pretrained = self.pretrained_model(inp)
+    else:
+      out_pretrained = self.pretrained_model(inp, kspace, mask)
+    out_pretrained = out_pretrained.detach()
+
+    if self.mode == 'add':
+      return out_pretrained + self.learnable_model(
+          self._learnable_input(inp, out_pretrained))
+
+    pretrained_real = out_pretrained[:, 0].unsqueeze(1).contiguous()
+    pretrained_imag = out_pretrained[:, 1].unsqueeze(1).contiguous()
+    pretrained_real_scaled, minimum, maximum = _scale_torch(pretrained_real)
+
+    out_learnable = self.learnable_model(
+        self._learnable_input(inp, out_pretrained))
+    out_learnable_scaled = self.scale * out_learnable
+    refined = pretrained_real_scaled + out_learnable_scaled
+    out_real = _unscale_torch(refined, minimum, maximum)
+    return {
+        'pred': torch.cat((out_real, pretrained_imag), dim=1),
+        'pretrained': out_pretrained,
+        'prescaled_refinement': out_learnable,
+        'scaled_refinement': out_learnable_scaled,
+    }
