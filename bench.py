@@ -192,6 +192,21 @@ def run_train_bench(image_size, batch_size, steps):
       'value': round(sps, 2), 'unit': 'samples/s'}) + '\n')
   sys.stderr.flush()
 
+  # Amortized mode: lax.scan k updates per host fetch (steps_per_fetch)
+  k = 8
+  batches = [host_batch] * k
+  runner._run_scanned_updates(batches)  # compile
+  start = time.perf_counter()
+  for _ in range(max(steps // k, 2)):
+    runner._run_scanned_updates(batches)
+  elapsed = time.perf_counter() - start
+  sps_scan = batch_size * k * max(steps // k, 2) / elapsed
+  sys.stderr.write(json.dumps({
+      'metric': '{s}x{s} GAN train samples/sec/chip (steps_per_fetch={k} '
+                'scan)'.format(s=image_size, k=k),
+      'value': round(sps_scan, 2), 'unit': 'samples/s'}) + '\n')
+  sys.stderr.flush()
+
 
 def main(argv):
   parser = argparse.ArgumentParser()
@@ -222,7 +237,10 @@ def main(argv):
     run_components(args.image_size, args.batch_size, args.dtype)
 
   if args.train:
+    # paper recipe batch 5 (per-step fetch + scanned), and the large-batch
+    # throughput mode (conv rates on this chip are ∝ min(batch, 128))
     run_train_bench(args.image_size, 5, args.train_steps)
+    run_train_bench(args.image_size, 64, max(args.train_steps // 2, 2))
 
   dtype = args.dtype
   try:

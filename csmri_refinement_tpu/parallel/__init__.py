@@ -17,4 +17,4 @@ more devices and keeping the default mesh.
 """
 
 from csmri_refinement_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, shard_batch, replicate, mesh_from_conf)
+    make_mesh, shard_batch, shard_stacked_batch, replicate, mesh_from_conf)

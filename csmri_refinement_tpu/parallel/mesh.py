@@ -45,6 +45,17 @@ def shard_batch(batch, mesh):
       lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_stacked_batch(batch, mesh):
+  """Place a (steps, batch, ...) stacked pytree with axis 1 sharded over
+  ``data`` (the scan axis stays unsharded) — the steps_per_fetch
+  throughput mode's input layout."""
+  if mesh is None:
+    return batch
+  sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+  return jax.tree_util.tree_map(
+      lambda x: jax.device_put(x, sharding), batch)
+
+
 def replicate(tree, mesh):
   """Replicate a pytree (params/opt state) across the mesh."""
   if mesh is None:

@@ -50,7 +50,7 @@ from csmri_refinement_tpu.training.optimizers import (get_optimizer,
                                                       set_learning_rate)
 from csmri_refinement_tpu.training.prep import get_batch_preparer
 from csmri_refinement_tpu.parallel import mesh_from_conf, replicate, \
-    shard_batch
+    shard_batch, shard_stacked_batch
 from csmri_refinement_tpu.utils.config import Configuration
 
 
@@ -142,6 +142,11 @@ class AdversarialRunner(BaseRunner):
                                                         default=1)
       self.disc_updates_per_step = disc_opt_conf.get_attr(
           'updates_per_step', default=1)
+      # Throughput mode: lax.scan k D-then-G updates per host loss fetch
+      # (the per-step fetch is dispatch-bound at the paper's batch 5 —
+      # NOTES.md round 3). Per-step TB loss logging coarsens to every k
+      # steps; optimization trajectory is unchanged.
+      self.steps_per_fetch = conf.get_attr('steps_per_fetch', default=1)
 
       self.train_gen_metric_fns = {
           name: get_metric_fn(conf, name, 'train')
@@ -175,6 +180,7 @@ class AdversarialRunner(BaseRunner):
       self.disc_lr_scheduler = None
       self.gen_updates_per_step = 1
       self.disc_updates_per_step = 1
+      self.steps_per_fetch = 1
       self.train_gen_metric_fns = {}
       self.train_disc_metric_fns = {}
       self.val_disc_metric_fns = {}
@@ -424,6 +430,60 @@ class AdversarialRunner(BaseRunner):
 
   # -- BaseRunner hooks --------------------------------------------------------------
 
+  def _get_scan_fn(self, k, use_disc):
+    """k D-then-G updates in ONE compiled lax.scan, losses averaged on
+    device — one host fetch per k steps instead of per step."""
+    key = ('scan', k, use_disc)
+    if key not in self._step_cache:
+      import functools
+
+      def scan_steps(gen_state, disc_state, pool_state, batches, rngs):
+        def body(carry, xs):
+          gen_s, disc_s, pool_s = carry
+          host_b, rng_pair = xs
+          batch = self.preparer.prepare_train(rng_pair[0], host_b)
+          gen_s, disc_s, pool_s, losses, _ = self._train_step_impl(
+              gen_s, disc_s, pool_s, batch, rng_pair[1], True, True,
+              use_disc)
+          return (gen_s, disc_s, pool_s), losses
+        (gen_state, disc_state, pool_state), losses = jax.lax.scan(
+            body, (gen_state, disc_state, pool_state), (batches, rngs))
+        mean_losses = {name: jnp.mean(vals) for name, vals in losses.items()}
+        return gen_state, disc_state, pool_state, mean_losses
+
+      self._step_cache[key] = functools.partial(
+          jax.jit, donate_argnums=(0, 1, 2))(scan_steps)
+    return self._step_cache[key]
+
+  def _run_scanned_updates(self, host_batches):
+    """Run len(host_batches) full updates per host fetch (steps_per_fetch
+    throughput mode). Returns averaged loss metrics; per-step train
+    metrics/TB images are skipped by design."""
+    import numpy as np
+    k = len(host_batches)
+    # identical key stream to k calls of _run_one_update — including the
+    # lazy init's own split after the first step's keys — so the scanned
+    # trajectory is bit-equal to the per-step one (tested)
+    self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
+    self._ensure_initialized(
+        self.preparer.prepare_train(prep_rng, host_batches[0]))
+    pairs = [jnp.stack([prep_rng, step_rng])]
+    for _ in range(k - 1):
+      self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
+      pairs.append(jnp.stack([prep_rng, step_rng]))
+    rngs = jnp.stack(pairs)
+    stacked = {key: np.stack([np.asarray(hb[key]) for hb in host_batches])
+               for key in host_batches[0]}
+    stacked = shard_stacked_batch(stacked, self.mesh)
+
+    scan_fn = self._get_scan_fn(k, self.discriminator_enabled)
+    (self.gen_state, self.disc_state, self.pool_state,
+     losses) = scan_fn(self.gen_state, self.disc_state, self.pool_state,
+                       stacked, rngs)
+    loss_metrics = {name: get_loss_metric(self._scalar(value))
+                    for name, value in losses.items()}
+    return loss_metrics
+
   def _run_one_update(self, host_batch, update_gen, update_disc):
     self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
     batch = self.preparer.prepare_train(prep_rng, host_batch)
@@ -442,6 +502,18 @@ class AdversarialRunner(BaseRunner):
 
   def _train_step(self, batch_iter):
     if self.gen_updates_per_step == 1 and self.disc_updates_per_step == 1:
+      if (self.steps_per_fetch > 1 and self.generator_enabled
+          and getattr(self.preparer, 'device_pure', False)):
+        host_batches = []
+        for _ in range(self.steps_per_fetch):
+          host_batch = next(batch_iter, None)
+          if host_batch is None:
+            break
+          host_batches.append(host_batch)
+        if not host_batches:
+          return 0, None, None
+        loss_metrics = self._run_scanned_updates(host_batches)
+        return len(host_batches), loss_metrics, None
       host_batch = next(batch_iter, None)
       if host_batch is None:
         return 0, None, None
@@ -532,6 +604,8 @@ class AdversarialRunner(BaseRunner):
     return metrics
 
   def _compute_train_metrics(self, data):
+    if data is None:   # scanned throughput mode skips per-step train metrics
+      return {}
     batch, out_gen, out_disc_fake, out_disc_real = data
     metrics = {}
     self._compute_gen_metrics(metrics, self.train_gen_metric_fns, out_gen,

@@ -79,6 +79,12 @@ class RecBatchPreparer:
         batch[key] = jnp.asarray(host_batch[key])
     return batch
 
+  @property
+  def device_pure(self):
+    """True when prepare_train is jit-pure (traceable under lax.scan):
+    every scheme except radial, whose masks are generated host-side."""
+    return self._train_fn is not None
+
   def prepare_train(self, rng, host_batch):
     gt = jnp.asarray(host_batch['gt'])
     if self._train_fn is not None:
@@ -106,6 +112,8 @@ class RecBatchPreparer:
 
 class SegBatchPreparer:
   """Segmentation batches pass through (inp/target already built on host)."""
+
+  device_pure = True
 
   @staticmethod
   def prepare_train(rng, host_batch):

@@ -313,3 +313,38 @@ def test_resume_first_epoch_uses_scheduled_lrs():
   runner.train_epoch(loader, 5, steps_per_train_summary=100)
   assert abs(get_learning_rate(runner.gen_state['opt_state']) - 1e-4) < 1e-9
   assert abs(get_learning_rate(runner.disc_state['opt_state']) - 1e-4) < 1e-9
+
+
+def test_steps_per_fetch_scan_matches_per_step_trajectory():
+  """steps_per_fetch throughput mode: lax.scan of k D-then-G updates per
+  host fetch must reproduce the per-step trajectory EXACTLY (same key
+  stream, same math) — only the loss-fetch cadence changes."""
+  conf_a = _conf()
+  runner_a = build_runner(conf_a, 'adversarial', 'train')
+  train_set = load_dataset(conf_a, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, 4, shuffle=False)
+  runner_a.train_epoch(loader, 1, steps_per_train_summary=100)
+
+  conf_b = _conf(steps_per_fetch=2)
+  runner_b = build_runner(conf_b, 'adversarial', 'train')
+  loader = DataLoader(train_set, 4, shuffle=False)
+  losses_b, _ = runner_b.train_epoch(loader, 1, steps_per_train_summary=100)
+
+  # 8 samples / batch 4 = 2 steps, scanned in one fetch
+  assert int(runner_b.gen_state['step']) == 2
+  assert int(runner_b.disc_state['step']) == 2
+  assert all(np.isfinite(m.value) for m in losses_b.values())
+
+  # identical key stream and math; only XLA fusion order differs between
+  # the scanned and per-step programs, so tolerances are float-noise tight
+  for tree_a, tree_b in ((runner_a.gen_state['params'],
+                          runner_b.gen_state['params']),
+                         (runner_a.disc_state['params'],
+                          runner_b.disc_state['params'])):
+    for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                    jax.tree_util.tree_leaves(tree_b)):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 atol=1e-6, rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(runner_a.pool_state['images']),
+                             np.asarray(runner_b.pool_state['images']),
+                             atol=1e-5, rtol=1e-5)
