@@ -35,7 +35,7 @@ REQUIRED_PARAMS = [
 OPTIONAL_PARAMS = [
     'kernel_size', 'transposed_kernel_size', 'relu_leakiness', 'use_bn',
     'upsampling_mode', 'padding', 'encoder_features', 'use_refinement',
-    'decoder_act_upsampling_only', 'dtype', 'remat',
+    'decoder_act_upsampling_only', 'dtype', 'remat', 'fused_inference',
 ]
 
 DEFAULT_RELU_LEAKINESS = 0.1
@@ -222,6 +222,49 @@ class _SplitSumConv(nn.Module):
     return y
 
 
+class _ConvParams(nn.Module):
+  """Declares nn.Conv's parameter tree (kernel/bias) without running the
+  conv — the fused-inference path reads the weights and feeds them to the
+  Pallas chain kernel. Same child name + param names + initializers as the
+  nn.Conv it mirrors, so the variable tree (checkpoints, torch importer,
+  init RNG folding) is bit-identical."""
+  shape: Tuple[int, ...]          # (k, k, cin, cout)
+  use_bias: bool
+  kernel_init: Any
+  bias_init: Any
+
+  @nn.compact
+  def __call__(self):
+    kernel = self.param('kernel',
+                        self.kernel_init or nn.initializers.lecun_normal(),
+                        self.shape)
+    bias = None
+    if self.use_bias:
+      bias = self.param('bias', self.bias_init or nn.initializers.zeros,
+                        (self.shape[-1],))
+    return kernel, bias
+
+
+class _BNParams(nn.Module):
+  """Declares nn.BatchNorm's eval-mode variable tree (scale/bias params +
+  running stats) without running it, for BN folding on the fused path."""
+  features: int
+  scale_init: Any
+
+  @nn.compact
+  def __call__(self):
+    scale = self.param('scale', self.scale_init or nn.initializers.ones,
+                       (self.features,))
+    bias = self.param('bias', nn.initializers.zeros, (self.features,))
+    mean = self.variable('batch_stats', 'mean',
+                         lambda s: jnp.zeros(s, jnp.float32),
+                         (self.features,))
+    var = self.variable('batch_stats', 'var',
+                        lambda s: jnp.ones(s, jnp.float32),
+                        (self.features,))
+    return scale, bias, mean.value, var.value
+
+
 class ConvEncodeUnit(nn.Module):
   in_channels: int  # informational; flax infers
   num_layers: int
@@ -236,11 +279,51 @@ class ConvEncodeUnit(nn.Module):
   bias_init: Any = None
   bn_init: Any = None
   dtype: Any = None
+  fused_inference: bool = False
+
+  def _fused_chain(self, x):
+    """Eval-mode conv chain through the fused Pallas kernel.
+
+    BN (running stats) folds into per-channel weight scale + bias; layers
+    the kernel cannot pack efficiently (Cin < 32) run as plain XLA convs
+    with the same folded weights (ops/conv_pallas.chain_forward)."""
+    from csmri_refinement_tpu.ops import conv_pallas
+
+    use_bias = not self.use_bn
+    dt = self.dtype or x.dtype
+    x = x.astype(dt)
+    k = self.kernel_size
+    chain = []
+    cin = x.shape[-1]
+    for i in range(self.num_layers):
+      kernel, bias = _ConvParams(
+          (k, k, cin, self.num_filters), use_bias, self.conv_init,
+          self.bias_init, name='conv_{}'.format(i))()
+      kernel = kernel.astype(jnp.float32)
+      bias = None if bias is None else bias.astype(jnp.float32)
+      if self.use_bn:
+        scale, b_bn, mean, var = _BNParams(
+            self.num_filters, self.bn_init, name='bn_{}'.format(i))()
+        s = scale.astype(jnp.float32) * jax.lax.rsqrt(var + 1e-5)
+        kernel = kernel * s
+        bias = b_bn.astype(jnp.float32) - mean * s
+      leak = self.relu_leakiness if self.use_act else None
+      chain.append(conv_pallas.ChainLayer(kernel, bias, leak))
+      cin = self.num_filters
+    return conv_pallas.chain_forward(x, chain, pad_mode=self.padding)
 
   @nn.compact
   def __call__(self, inp, train=False):
     x = inp
     use_bias = not self.use_bn
+    if (self.fused_inference and not train
+        and self.kernel_size in (3, 4)
+        and not isinstance(x, tuple)):
+      x = self._fused_chain(x)
+      if self.downsample:
+        pooled = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return pooled, x
+      return x
     for i in range(self.num_layers):
       if i == 0 and isinstance(x, tuple):
         # Unmaterialized skip-concat from ConvDecodeUnit (see
@@ -292,6 +375,7 @@ class ConvDecodeUnit(nn.Module):
   bias_init: Any = None
   bn_init: Any = None
   dtype: Any = None
+  fused_inference: bool = False
 
   @nn.compact
   def __call__(self, decode_path, encode_path=None, train=False):
@@ -375,6 +459,7 @@ class ConvDecodeUnit(nn.Module):
           use_act=self.use_act, padding=self.padding,
           conv_init=self.conv_init, bias_init=self.bias_init,
           bn_init=self.bn_init, dtype=self.dtype,
+          fused_inference=self.fused_inference,
           name='decode')(x, train=train)
     return x
 
@@ -396,6 +481,7 @@ class UNET(nn.Module):
   use_refinement: bool = False
   decoder_act_upsampling_only: bool = False
   remat: bool = False
+  fused_inference: bool = False
   weight_init: Any = None
   dtype: Any = None
 
@@ -436,7 +522,8 @@ class UNET(nn.Module):
           self.kernel_size, leakiness[0], self.use_bn,
           downsample=downsample, padding=self.padding,
           conv_init=conv_init, bias_init=bias_init, bn_init=bn_init,
-          dtype=self.dtype, name='encode_{}'.format(scale))
+          dtype=self.dtype, fused_inference=self.fused_inference,
+          name='encode_{}'.format(scale))
       if downsample:
         x, features = unit(x, train=train)
         encoder_features.append(features)
@@ -457,6 +544,7 @@ class UNET(nn.Module):
           act_upsampling_only=self.decoder_act_upsampling_only,
           conv_init=conv_init, conv_transposed_init=convt_init,
           bias_init=bias_init, bn_init=bn_init, dtype=self.dtype,
+          fused_inference=self.fused_inference,
           name='decode_{}'.format(scale))
       x = unit(x, encoder_features[-(scale + 1)], train=train)
 
@@ -471,6 +559,7 @@ class UNET(nn.Module):
           act_upsampling_only=self.decoder_act_upsampling_only,
           conv_init=conv_init, conv_transposed_init=convt_init,
           bias_init=bias_init, bn_init=bn_init, dtype=self.dtype,
+          fused_inference=self.fused_inference,
           name='up_decode_{}'.format(scale))
       x = unit(x, train=train)
 

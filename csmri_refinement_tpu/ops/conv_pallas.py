@@ -164,84 +164,181 @@ def _pack_weights(w, p):
   return jnp.stack(blocks)
 
 
-def _roll(x, shift, axis):
-  """pltpu.roll with any-sign shift (result[i] = x[i - shift])."""
-  shift %= x.shape[axis]
-  return x if shift == 0 else pltpu.roll(x, shift, axis=axis)
+def _lane_roll(v, shift):
+  """Static circular lane roll (result[:, l] = v[:, l - shift]), bf16-safe.
+
+  This Mosaic/libtpu build rejects ``tpu.dynamic_rotate`` on sub-32-bit
+  data ("Rotate with non-32-bit data"); ride an i32 bitcast view instead.
+  ``pltpu.bitcast`` packs sublane row PAIRS into one i32 row and leaves the
+  lane dimension untouched, so a lane roll of the i32 view rolls both
+  packed bf16 rows identically and the inverse bitcast restores them
+  (measured OK: scripts/probe_mosaic_prims.py).
+  """
+  l = v.shape[-1]
+  shift %= l
+  if shift == 0:
+    return v
+  if v.dtype.itemsize == 4:
+    return pltpu.roll(v, shift, axis=1)
+  assert v.shape[0] % 2 == 0, 'bf16 lane roll needs an even row count'
+  i = pltpu.bitcast(v, jnp.int32)
+  i = pltpu.roll(i, shift, axis=1)
+  return pltpu.bitcast(i, v.dtype)
 
 
-def _chain_kernel(*refs, plans, height, pad_mode, cdtype):
-  """refs: x_ref, (w_ref, b_ref) per layer, out_ref, then scratch per layer."""
+def _group_fixups(entries, cl, l_in):
+  """Group edge-fixup entries for one operand into batched applications.
+
+  Returns [(dg, perm, [(g_mod, sp), ...])]: all entries sharing a source
+  row offset ``dg`` apply as ONE fused where() whose replacement value is
+  the dg-offset slab slice, lane-permuted by a single one-hot matmul
+  (``perm``; None when every slot reads its own lane block, i.e. dl == 0).
+  Zero-pad entries group under dg None. A destination slot demanded from
+  two different source slots (possible only at tiny widths) splits into
+  separate groups.
+  """
+  import numpy as np
+  zero_ents = [(gm, sp) for gm, sp, dg, dl in entries if dg is None]
+  by_dg = {}
+  for gm, sp, dg, dl in entries:
+    if dg is not None:
+      by_dg.setdefault(dg, []).append((gm, sp, dl))
+  out = []
+  if zero_ents:
+    out.append((None, None, zero_ents))
+  for dg, ents in sorted(by_dg.items()):
+    subgroups = []
+    for gm, sp, dl in ents:
+      placed = False
+      for sub in subgroups:
+        if all(sp != sp2 or dl == dl2 for _, sp2, dl2 in sub):
+          sub.append((gm, sp, dl))
+          placed = True
+          break
+      if not placed:
+        subgroups.append([(gm, sp, dl)])
+    for sub in subgroups:
+      if all(dl == 0 for _, _, dl in sub):
+        perm = None
+      else:
+        perm = np.zeros((l_in, l_in), np.float32)
+        for _, sp, dl in sub:
+          src0 = (sp + dl) * cl
+          perm[src0:src0 + cl, sp * cl:(sp + 1) * cl] = np.eye(cl)
+      out.append((dg, perm, [(gm, sp) for gm, sp, _ in sub]))
+  return out
+
+
+# Guard rows: real slab row s lives at ref row s + _TOP. Top guards absorb
+# the shifted reads at offset -1 and reflect fixups with negative row
+# offsets (dg >= -(k-2)); bottom guards absorb reads at offsets + n_ops.
+# Guards are zeroed so out-of-range reads hit 0 (they only ever multiply
+# zero weight blocks or are overwritten by edge fixups).
+_TOP = 4
+_BOT = 4
+
+
+def _chain_kernel(*refs, plans, groups, n_perms, height, pad_mode, cdtype):
+  """refs: x_ref, (w_ref, b_ref) per layer, fixup permutation matrices,
+  out_ref, then per layer a slab scratch and a shifted-slab scratch.
+  ``groups[li][j]`` = [(dg, perm_input_index_or_None, ((g_mod, sp), ...))].
+
+  Mosaic constraint driving the structure (probe_mosaic_prims.py): bf16
+  vectors cannot be sublane-rotated, but VMEM refs CAN be read/written at
+  arbitrary (unaligned) row offsets. All pixel/row shifts are therefore
+  expressed as ref slices at static offsets; the only vector shifts are
+  lane rolls via ``_lane_roll``.
+  """
   nl = len(plans)
   x_ref = refs[0]
   w_refs = [refs[1 + 2 * i] for i in range(nl)]
   b_refs = [refs[2 + 2 * i] for i in range(nl)]
-  out_ref = refs[1 + 2 * nl]
-  scratch = refs[2 + 2 * nl:2 + 3 * nl]
+  perm_refs = refs[1 + 2 * nl:1 + 2 * nl + n_perms]
+  out_ref = refs[1 + 2 * nl + n_perms]
+  slabs = refs[2 + 2 * nl + n_perms:2 + 3 * nl + n_perms]
+  shifted = refs[2 + 3 * nl + n_perms:2 + 4 * nl + n_perms]
 
   cur = x_ref[0]
   for li, lp in enumerate(plans):
-    a_ref = scratch[li]
+    a_ref = slabs[li]
     g, cl = lp.g, lp.cin
     l_in = lp.p * cl
     pad_l = (lp.k - 1) // 2
     pad_r = lp.k - 1 - pad_l
+    rows = height + lp.k - 1
+    big_r = rows * g                  # real slab rows (even: height even)
+
+    # --- zero the guard rows: operand reads overrun into them on slots
+    # whose weight blocks are zero, and garbage * 0 must stay 0 (NaN/Inf
+    # garbage would poison the accumulator).
+    a_ref[0:_TOP] = jnp.zeros((_TOP, l_in), cdtype)
+    a_ref[_TOP + big_r:] = jnp.zeros((_BOT, l_in), cdtype)
 
     # --- padded input slab: valid rows + per-layer SAME pad rows
-    a_ref[pad_l * g:(pad_l + height) * g] = cur
+    a_ref[_TOP + pad_l * g:_TOP + (pad_l + height) * g] = cur
     for t in range(pad_l):          # top pad rows (reflect: row -1-t <- 1+t)
-      dst = slice((pad_l - 1 - t) * g, (pad_l - t) * g)
+      dst = slice(_TOP + (pad_l - 1 - t) * g, _TOP + (pad_l - t) * g)
       if pad_mode == 'zero':
         a_ref[dst] = jnp.zeros((g, l_in), cdtype)
       else:
         src = (t + 1) if pad_mode == 'reflection' else 0
-        a_ref[dst] = a_ref[(pad_l + src) * g:(pad_l + src + 1) * g]
+        a_ref[dst] = a_ref[_TOP + (pad_l + src) * g:
+                           _TOP + (pad_l + src + 1) * g]
     for t in range(pad_r):          # bottom pad rows (row H+t <- H-2-t)
-      dst = slice((pad_l + height + t) * g, (pad_l + height + t + 1) * g)
+      dst = slice(_TOP + (pad_l + height + t) * g,
+                  _TOP + (pad_l + height + t + 1) * g)
       if pad_mode == 'zero':
         a_ref[dst] = jnp.zeros((g, l_in), cdtype)
       else:
         src = (height - 2 - t) if pad_mode == 'reflection' else height - 1
-        a_ref[dst] = a_ref[(pad_l + src) * g:(pad_l + src + 1) * g]
+        a_ref[dst] = a_ref[_TOP + (pad_l + src) * g:
+                           _TOP + (pad_l + src + 1) * g]
 
-    a = a_ref[:]
-    rows = height + lp.k - 1
-
-    # --- S = flat shift right by one pixel (lane roll + sublane carry)
+    # --- shifted slab for P>1: ss[s] = lane-roll(a[s]) by one pixel; the
+    # flat one-pixel shift then reads row pairs (s-1, s) with a lane mask.
     if lp.p > 1:
-      roll_p = _roll(a, cl, 1)                   # [g, l] = a[g, l - cl]
-      carry = _roll(roll_p, 1, 0)                # previous group's last px
-      lane = jax.lax.broadcasted_iota(jnp.int32, (1, l_in), 1)
-      s_op = jnp.where(lane < cl, carry, roll_p)
-    else:
-      lane = jax.lax.broadcasted_iota(jnp.int32, (1, l_in), 1)
-      s_op = _roll(a, 1, 0)                      # pure sublane shift
-    gid = jax.lax.broadcasted_iota(jnp.int32, (rows * g, 1), 0) % g
+      ss_ref = shifted[li]
+      ss_ref[0:_TOP] = jnp.zeros((_TOP, l_in), cdtype)
+      ss_ref[_TOP + big_r:] = jnp.zeros((_BOT, l_in), cdtype)
+      ss_ref[_TOP:_TOP + big_r] = _lane_roll(a_ref[_TOP:_TOP + big_r], cl)
 
-    def edge_value(dg, dl):
-      v = a
-      if dl:
-        v = _roll(v, -dl * cl, 1)                # [g, l] = a[g, l + dl*cl]
-      if dg:
-        v = _roll(v, -dg, 0)                     # [g, l] = a[g + dg, l]
-      return v
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, l_in), 1)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (big_r, 1), 0) % g
 
-    ops = []
-    for j in range(lp.n_ops):
-      o = s_op if j == 0 else _roll(s_op, -j, 0)
-      for (g_mod, sp, dg, dl) in lp.fixups.get(j, ()):
-        m = (gid == g_mod) & (lane >= sp * cl) & (lane < (sp + 1) * cl)
-        o = jnp.where(m, jnp.zeros_like(o) if dg is None
-                      else edge_value(dg, dl), o)
-      ops.append(o)
-
-    # --- matmuls: acc[m, P*Cout] = sum_j,dy O_j[dy*G:dy*G+H*G] @ W[j*k+dy]
+    # --- operands o_j[s] = flat-shift-by-one-pixel(a)[s + j], edge-fixed.
+    # Fixups are pre-grouped (one fused mask + one permutation matmul per
+    # source-row offset — a 128x128 one-hot matmul on the MXU replaces
+    # per-slot lane rolls on the VPU); matmuls are emitted immediately
+    # after each operand so Mosaic can overlap the next operand's VPU
+    # selects with the current operand's MXU work.
     m_rows = height * g
     acc = None
     for j in range(lp.n_ops):
+      if lp.p > 1:
+        o = jnp.where(lane < cl,
+                      ss_ref[_TOP - 1 + j:_TOP - 1 + j + big_r],
+                      ss_ref[_TOP + j:_TOP + j + big_r])
+      else:
+        o = a_ref[_TOP - 1 + j:_TOP - 1 + j + big_r]
+      for dg, perm_idx, ents in groups[li][j]:
+        mask = None
+        for g_mod, sp in ents:
+          e = (gid == g_mod) & (lane >= sp * cl) & (lane < (sp + 1) * cl)
+          mask = e if mask is None else (mask | e)
+        if dg is None:
+          val = jnp.zeros_like(o)
+        else:
+          assert -_TOP <= dg <= _BOT, 'fixup row offset out of guard range'
+          val = a_ref[_TOP + dg:_TOP + dg + big_r]
+          if perm_idx is not None:
+            val = jax.lax.dot_general(
+                val, perm_refs[perm_idx][:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(cdtype)
+        o = jnp.where(mask, val, o)
+
       for dy in range(lp.k):
         part = jax.lax.dot_general(
-            ops[j][dy * g:dy * g + m_rows],
+            o[dy * g:dy * g + m_rows],
             w_refs[li][j * lp.k + dy],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -259,6 +356,72 @@ def _chain_kernel(*refs, plans, height, pad_mode, cdtype):
       cur = y
     else:
       out_ref[0] = y
+
+
+def layer_fusable(cin, cout, k, width, height):
+  """Whether the Pallas kernel packs this conv efficiently.
+
+  Requires: k in {3,4}; P = ceil(128/Cin) <= 4 (Cin >= 32 — smaller inputs
+  waste >= 4x MXU slots and measured slower than XLA); width divisible by
+  P with the group count G a multiple of 16 (bf16 tile-aligned vector
+  slices); even slab row count (bf16 bitcast lane rolls); output lanes a
+  multiple of 128.
+  """
+  if k not in (3, 4) or height % 2:
+    return False
+  p = max(1, -(-128 // cin))
+  if p > 4 or width % p:
+    return False
+  g = width // p
+  if g % 16 or (p * cout) % 128:
+    return False
+  if ((height + k - 1) * g) % 2:
+    return False
+  return True
+
+
+def _xla_layer(x, layer, pad_mode):
+  """One SAME conv + bias + LeakyReLU via XLA (same folded semantics)."""
+  from csmri_refinement_tpu.models.layers import same_conv
+  k = layer.kernel.shape[0]
+  kern = layer.kernel.astype(x.dtype)
+  conv = lambda p: jax.lax.conv_general_dilated(
+      p, kern, (1, 1), 'VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+  y = same_conv(conv, x, k, pad_mode)
+  if layer.bias is not None:
+    y = y + layer.bias.astype(y.dtype)
+  if layer.leakiness is not None:
+    y = jnp.where(y >= 0, y, jnp.asarray(layer.leakiness, y.dtype) * y)
+  return y
+
+
+def chain_forward(x, layers: Sequence[ChainLayer], *, pad_mode='reflection',
+                  interpret=False):
+  """Run a conv chain, fusing the longest eligible suffix in one kernel.
+
+  Layers ahead of the fused suffix (e.g. the U-Net's 2->32 stem, below the
+  kernel's packing floor) run as plain XLA SAME convs on the same folded
+  weights. Result is numerically equivalent to running every layer
+  through XLA at the same compute dtype.
+  """
+  b, h, w, _ = x.shape
+  n = len(layers)
+  start = n
+  for i in range(n - 1, -1, -1):
+    kh, kw, cin, cout = layers[i].kernel.shape
+    if layer_fusable(cin, cout, kw, w, h):
+      start = i
+    else:
+      break
+  for lay in layers[:start]:
+    x = _xla_layer(x, lay, pad_mode)
+  if start < n:
+    # Mosaic kernels only lower on TPU; CPU (tests, virtual meshes) runs
+    # the interpreter, which computes identical results.
+    interpret = interpret or jax.default_backend() != 'tpu'
+    x = fused_conv_chain(x, layers[start:], pad_mode=pad_mode,
+                         interpret=interpret)
+  return x
 
 
 def fused_conv_chain(x, layers: Sequence[ChainLayer], *,
@@ -291,13 +454,39 @@ def fused_conv_chain(x, layers: Sequence[ChainLayer], *,
     in_specs.append(pl.BlockSpec(ba.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))
 
+  # Fixup groups; lane-permutation matrices ride as kernel inputs
+  # (pallas forbids captured array constants).
+  groups = []
+  perm_arrays = []
+  for lp in plans:
+    per_j = []
+    for j in range(lp.n_ops):
+      lst = []
+      for dg, perm, ents in _group_fixups(lp.fixups.get(j, ()),
+                                          lp.cin, lp.p * lp.cin):
+        if perm is None:
+          lst.append((dg, None, tuple(ents)))
+        else:
+          lst.append((dg, len(perm_arrays), tuple(ents)))
+          perm_arrays.append(jnp.asarray(perm).astype(cdtype))
+      per_j.append(tuple(lst))
+    groups.append(tuple(per_j))
+  for pa in perm_arrays:
+    flat_in.append(pa)
+    in_specs.append(pl.BlockSpec(pa.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+
   g_out, l_out = plans[-1].g, plans[-1].p * plans[-1].cout
-  scratch = [pltpu.VMEM(((h + lp.k - 1) * lp.g, lp.p * lp.cin), cdtype)
-             for lp in plans]
+  # Slab + shifted-slab scratch per layer (guard/overrun rows: see _TOP/_BOT)
+  scratch = [pltpu.VMEM((_TOP + (h + lp.k - 1) * lp.g + _BOT,
+                         lp.p * lp.cin), cdtype) for lp in plans]
+  scratch += [pltpu.VMEM((_TOP + (h + lp.k - 1) * lp.g + _BOT,
+                          lp.p * lp.cin), cdtype) for lp in plans]
   flops = 2 * b * h * w * sum(
       lp.n_ops * lp.k * lp.p * lp.cin * lp.cout for lp in plans)
 
-  kern = functools.partial(_chain_kernel, plans=plans, height=h,
+  kern = functools.partial(_chain_kernel, plans=plans, groups=groups,
+                           n_perms=len(perm_arrays), height=h,
                            pad_mode=pad_mode, cdtype=cdtype)
   out = pl.pallas_call(
       kern,

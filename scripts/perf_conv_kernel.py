@@ -57,10 +57,11 @@ def probe(tag, c, size, k=4, pad_mode='reflection', chain=1):
   flops = 2 * BATCH * size * size * k * k * c * c * chain
 
   if chain == 1:
-    report(tag + ' XLA', timed_scan(xla_conv, x, args=(w, b, pad_mode)),
-           flops)
-    report(tag + ' pallas', timed_scan(kernel_conv, x,
-                                       args=(w, b, pad_mode)), flops)
+    import functools
+    xla1 = functools.partial(xla_conv, pad_mode=pad_mode)
+    pal1 = functools.partial(kernel_conv, pad_mode=pad_mode)
+    report(tag + ' XLA', timed_scan(xla1, x, args=(w, b)), flops)
+    report(tag + ' pallas', timed_scan(pal1, x, args=(w, b)), flops)
   else:
     def xla_n(x, w, b):
       for _ in range(chain):
@@ -72,6 +73,29 @@ def probe(tag, c, size, k=4, pad_mode='reflection', chain=1):
     report(tag + ' XLA x%d' % chain, timed_scan(xla_n, x, args=(w, b)), flops)
     report(tag + ' pallas fused x%d' % chain,
            timed_scan(pal_n, x, args=(w, b)), flops)
+
+
+def probe_mixed(tag, specs, size, pad_mode='reflection'):
+  """Chain with differing per-layer channel counts (e.g. U-Net s2)."""
+  from csmri_refinement_tpu.ops.conv_pallas import fused_conv_chain, ChainLayer
+  cin = specs[0][1]
+  x = make((BATCH, size, size, cin))
+  layers = tuple(ChainLayer(make((k, k, ci, co), key=7 + i, dtype=jnp.float32),
+                            make((co,), key=17 + i, dtype=jnp.float32), 0.2)
+                 for i, (k, ci, co) in enumerate(specs))
+  flops = 2 * BATCH * size * size * sum(k * k * ci * co
+                                        for k, ci, co in specs)
+
+  def xla_n(x, *wb):
+    for lay in layers:
+      x = xla_conv(x, lay.kernel, lay.bias, pad_mode)
+    return x
+
+  def pal_n(x, *wb):
+    return fused_conv_chain(x, layers, pad_mode=pad_mode)
+
+  report(tag + ' XLA', timed_scan(xla_n, x), flops)
+  report(tag + ' pallas fused', timed_scan(pal_n, x), flops)
 
 
 def main(argv):
@@ -89,6 +113,13 @@ def main(argv):
     probe('k4 64->64 @128 reflect', 64, 128)
   if 'c128' in probes:
     probe('k4 128->128 @64 reflect', 128, 64)
+  if 'c128x2' in probes:
+    probe('k4 128->128 @64 reflect', 128, 64, chain=2)
+  if 's2' in probes:
+    probe_mixed('s2 chain 64->128->128 @64', ((4, 64, 128), (4, 128, 128)),
+                64)
+  if 'd0' in probes:
+    probe_mixed('d0 merge 128->64 @128', ((4, 128, 64),), 128)
 
 
 if __name__ == '__main__':

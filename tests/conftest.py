@@ -29,7 +29,15 @@ def pytest_configure(config):
   config.addinivalue_line(
       'markers',
       'slow: heavyweight end-to-end/architecture tests '
-      '(quick loop: pytest -m "not slow", ~3 min; full suite ~12 min)')
+      '(quick loop: pytest -m "not slow", ~6 min; full suite ~21 min)')
+  config.addinivalue_line(
+      'markers',
+      'parity: torch-twin / golden forward-parity tests (subset of slow; '
+      'run alone with -m parity)')
+  config.addinivalue_line(
+      'markers',
+      'e2e: CLI / training end-to-end tests (subset of slow; '
+      'run alone with -m e2e)')
 
 
 @pytest.fixture

@@ -12,7 +12,7 @@ from csmri_refinement_tpu.utils.config import Configuration
 
 
 # Heavyweight end-to-end/architecture tests: deselect with -m "not slow"
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
 
 
 def _conf(**overrides):

@@ -9,7 +9,7 @@ import pytest
 
 
 # Heavyweight end-to-end/architecture tests: deselect with -m "not slow"
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
 
 
 @pytest.fixture

@@ -19,7 +19,7 @@ import pytest
 from csmri_refinement_tpu.models.layers import same_pad
 from csmri_refinement_tpu.ops.conv_pallas import ChainLayer, fused_conv_chain
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
 def ref_chain(x, layers, pad_mode):
@@ -86,3 +86,42 @@ def test_chain_p_never_increases():
   layers = (_mk(rng, 4, 32, 64), _mk(rng, 4, 64, 64))
   plans = _plan(layers, 256, 'reflection')
   assert [lp.p for lp in plans] == [4, 2]   # split repack allowed
+
+
+def test_chain_forward_splits_stem():
+  """chain_forward runs sub-32-channel stems via XLA, fuses the rest."""
+  rng = np.random.RandomState(7)
+  layers = (_mk(rng, 4, 2, 32), _mk(rng, 4, 32, 32))
+  x = jnp.asarray(rng.randn(2, 16, 64, 2).astype(np.float32))
+  from csmri_refinement_tpu.ops.conv_pallas import chain_forward
+  got = chain_forward(x, layers, pad_mode='reflection', interpret=True)
+  want = ref_chain(x, layers, 'reflection')
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=0, atol=2e-4)
+
+
+def test_unet_fused_inference_equivalence():
+  """UNET(fused_inference=True) == UNET(False) in eval mode (BN folded)."""
+  from csmri_refinement_tpu.models.unet import UNET
+  rng = np.random.RandomState(3)
+  kw = dict(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
+            encode_filters=[32, 64], decode_filters=[32], kernel_size=4,
+            upsampling_mode='nn-resize-conv', output_activation='none',
+            padding='reflection', decoder_act_upsampling_only=True)
+  x = jnp.asarray(rng.randn(2, 64, 64, 2).astype(np.float32))
+  model = UNET(**kw)
+  variables = model.init(jax.random.PRNGKey(0), x, train=False)
+  # perturb running stats so BN folding is actually exercised
+  import flax
+  stats = flax.core.unfreeze(variables['batch_stats'])
+  leaves, treedef = jax.tree_util.tree_flatten(stats)
+  keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+  leaves = [jnp.abs(l + 0.3 * jax.random.normal(k, l.shape)) + 0.05
+            for l, k in zip(leaves, keys)]
+  variables = {'params': variables['params'],
+               'batch_stats': jax.tree_util.tree_unflatten(treedef, leaves)}
+  want = model.apply(variables, x, train=False)
+  fused = UNET(fused_inference=True, **kw)
+  got = fused.apply(variables, x, train=False)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=0, atol=5e-4)

@@ -30,7 +30,7 @@ import torch_twins  # noqa: E402
 
 
 # Heavyweight end-to-end/architecture tests: deselect with -m "not slow"
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
 def _nhwc(t):

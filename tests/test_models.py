@@ -14,7 +14,7 @@ from csmri_refinement_tpu.models.refinement_wrapper import (
     RefinementWrapper, _scale, _unscale)
 
 # Heavyweight end-to-end/architecture tests: deselect with -m "not slow"
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
 def _init_apply(model, *inputs, train=False, **kwargs):

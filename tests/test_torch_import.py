@@ -23,7 +23,7 @@ from csmri_refinement_tpu.models.discriminators import (  # noqa: E402
     CNNDiscriminator)
 
 # Heavyweight end-to-end/architecture tests: deselect with -m "not slow"
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
 def _recnet_state_dict(rng, num_blocks=2, num_convs=2, num_filters=4):
