@@ -18,7 +18,7 @@ import numpy as np
 TARGET = 5000.0  # slices/sec/chip (BASELINE.json north star)
 
 
-def build_forward(image_size, dtype_str):
+def build_forward(image_size, dtype_str, fused_conv=False):
   import jax
   import jax.numpy as jnp
   from csmri_refinement_tpu.models.recnet import RecNet
@@ -34,7 +34,8 @@ def build_forward(image_size, dtype_str):
                    encode_filters=[32, 64, 128], decode_filters=[64, 32],
                    kernel_size=4, upsampling_mode='nn-resize-conv',
                    output_activation='none', padding='reflection',
-                   decoder_act_upsampling_only=True, dtype=dtype)
+                   decoder_act_upsampling_only=True, dtype=dtype,
+                   fused_inference=fused_conv)
   model = RefinementWrapper(pretrained_model=pretrained,
                             learnable_model=learnable,
                             mode='real-penalty-add', input_mode='output')
@@ -63,12 +64,14 @@ def build_forward(image_size, dtype_str):
   return forward, variables, batch_for
 
 
-def run_bench(batch_size, image_size, iters, warmup, dtype_str):
+def run_bench(batch_size, image_size, iters, warmup, dtype_str,
+              fused_conv=False):
   import functools
   import jax
   import jax.numpy as jnp
 
-  forward, variables, batch_for = build_forward(image_size, dtype_str)
+  forward, variables, batch_for = build_forward(image_size, dtype_str,
+                                                fused_conv=fused_conv)
 
   batch = batch_for(batch_size)
   args = (batch['inp'], batch['kspace'], batch['mask'])
@@ -227,6 +230,9 @@ def main(argv):
                       help='also bench GAN training throughput (paper '
                            'batch 5; stderr row)')
   parser.add_argument('--train-steps', type=int, default=8)
+  parser.add_argument('--fused-conv', action='store_true',
+                      help='route eval U-Net conv chains through the fused '
+                           'Pallas kernel (ops/conv_pallas.py)')
   args = parser.parse_args(argv)
 
   if args.platform:
@@ -257,10 +263,12 @@ def main(argv):
       from csmri_refinement_tpu.utils.profiling import trace
       with trace(args.profile):
         slices_per_sec = run_bench(args.batch_size, args.image_size,
-                                   args.iters, args.warmup, dtype)
+                                   args.iters, args.warmup, dtype,
+                                   fused_conv=args.fused_conv)
     else:
       slices_per_sec = run_bench(args.batch_size, args.image_size, args.iters,
-                                 args.warmup, dtype)
+                                 args.warmup, dtype,
+                                 fused_conv=args.fused_conv)
   except Exception as e:  # degrade rather than losing the bench record
     sys.stderr.write('bench: {} run failed ({}); retrying f32 batch 32\n'
                      .format(dtype, type(e).__name__))

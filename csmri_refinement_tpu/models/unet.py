@@ -36,6 +36,7 @@ OPTIONAL_PARAMS = [
     'kernel_size', 'transposed_kernel_size', 'relu_leakiness', 'use_bn',
     'upsampling_mode', 'padding', 'encoder_features', 'use_refinement',
     'decoder_act_upsampling_only', 'dtype', 'remat', 'fused_inference',
+    'quantize_inference',
 ]
 
 DEFAULT_RELU_LEAKINESS = 0.1
@@ -280,6 +281,7 @@ class ConvEncodeUnit(nn.Module):
   bn_init: Any = None
   dtype: Any = None
   fused_inference: bool = False
+  quantize_inference: bool = False
 
   def _fused_chain(self, x):
     """Eval-mode conv chain through the fused Pallas kernel.
@@ -310,13 +312,16 @@ class ConvEncodeUnit(nn.Module):
       leak = self.relu_leakiness if self.use_act else None
       chain.append(conv_pallas.ChainLayer(kernel, bias, leak))
       cin = self.num_filters
+    if self.quantize_inference:
+      from csmri_refinement_tpu.ops.quantize import chain_forward_int8
+      return chain_forward_int8(x, chain, pad_mode=self.padding)
     return conv_pallas.chain_forward(x, chain, pad_mode=self.padding)
 
   @nn.compact
   def __call__(self, inp, train=False):
     x = inp
     use_bias = not self.use_bn
-    if (self.fused_inference and not train
+    if ((self.fused_inference or self.quantize_inference) and not train
         and self.kernel_size in (3, 4)
         and not isinstance(x, tuple)):
       x = self._fused_chain(x)
@@ -376,6 +381,7 @@ class ConvDecodeUnit(nn.Module):
   bn_init: Any = None
   dtype: Any = None
   fused_inference: bool = False
+  quantize_inference: bool = False
 
   @nn.compact
   def __call__(self, decode_path, encode_path=None, train=False):
@@ -460,6 +466,7 @@ class ConvDecodeUnit(nn.Module):
           conv_init=self.conv_init, bias_init=self.bias_init,
           bn_init=self.bn_init, dtype=self.dtype,
           fused_inference=self.fused_inference,
+          quantize_inference=self.quantize_inference,
           name='decode')(x, train=train)
     return x
 
@@ -482,6 +489,7 @@ class UNET(nn.Module):
   decoder_act_upsampling_only: bool = False
   remat: bool = False
   fused_inference: bool = False
+  quantize_inference: bool = False
   weight_init: Any = None
   dtype: Any = None
 
@@ -523,6 +531,7 @@ class UNET(nn.Module):
           downsample=downsample, padding=self.padding,
           conv_init=conv_init, bias_init=bias_init, bn_init=bn_init,
           dtype=self.dtype, fused_inference=self.fused_inference,
+          quantize_inference=self.quantize_inference,
           name='encode_{}'.format(scale))
       if downsample:
         x, features = unit(x, train=train)
@@ -545,6 +554,7 @@ class UNET(nn.Module):
           conv_init=conv_init, conv_transposed_init=convt_init,
           bias_init=bias_init, bn_init=bn_init, dtype=self.dtype,
           fused_inference=self.fused_inference,
+          quantize_inference=self.quantize_inference,
           name='decode_{}'.format(scale))
       x = unit(x, encoder_features[-(scale + 1)], train=train)
 
@@ -560,6 +570,7 @@ class UNET(nn.Module):
           conv_init=conv_init, conv_transposed_init=convt_init,
           bias_init=bias_init, bn_init=bn_init, dtype=self.dtype,
           fused_inference=self.fused_inference,
+          quantize_inference=self.quantize_inference,
           name='up_decode_{}'.format(scale))
       x = unit(x, train=train)
 

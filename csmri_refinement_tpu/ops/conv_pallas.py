@@ -53,13 +53,17 @@ from jax.experimental.pallas import tpu as pltpu
 class ChainLayer(NamedTuple):
   """One conv (+ optional activation) of a fused chain.
 
-  kernel: (k, k, Cin, Cout) HWIO (flax layout), any float dtype.
+  kernel: (k, k, Cin, Cout) HWIO (flax layout), any float dtype — or int8
+          in the quantized serving mode (then ``w_scale`` holds the
+          per-output-channel dequantization scales).
   bias:   (Cout,) or None. BN (eval mode) must already be folded in.
   leakiness: LeakyReLU negative slope, or None for a linear layer.
+  w_scale: (Cout,) f32 per-channel weight scales (int8 mode only).
   """
   kernel: Any
   bias: Optional[Any] = None
   leakiness: Optional[float] = None
+  w_scale: Optional[Any] = None
 
 
 def _pick_p(cin, width):
@@ -180,7 +184,9 @@ def _lane_roll(v, shift):
     return v
   if v.dtype.itemsize == 4:
     return pltpu.roll(v, shift, axis=1)
-  assert v.shape[0] % 2 == 0, 'bf16 lane roll needs an even row count'
+  packing = 4 // v.dtype.itemsize
+  assert v.shape[0] % packing == 0, 'sub-32-bit lane roll: row count must ' \
+      'be divisible by the i32 packing factor'
   i = pltpu.bitcast(v, jnp.int32)
   i = pltpu.roll(i, shift, axis=1)
   return pltpu.bitcast(i, v.dtype)
@@ -238,10 +244,17 @@ _TOP = 4
 _BOT = 4
 
 
-def _chain_kernel(*refs, plans, groups, n_perms, height, pad_mode, cdtype):
-  """refs: x_ref, (w_ref, b_ref) per layer, fixup permutation matrices,
-  out_ref, then per layer a slab scratch and a shifted-slab scratch.
+def _chain_kernel(*refs, plans, groups, n_perms, height, pad_mode, cdtype,
+                  quant=False, odtype=None):
+  """refs: x_ref, [act-scale ref in int8 mode], (w_ref, b_ref[, s_ref])
+  per layer, fixup permutation matrices, out_ref, then per layer a slab
+  scratch and a shifted-slab scratch.
   ``groups[li][j]`` = [(dg, perm_input_index_or_None, ((g_mod, sp), ...))].
+
+  int8 serving mode (``quant``): slabs/operands/weights are int8, matmuls
+  accumulate in int32, each layer's epilogue dequantizes to f32 (act scale
+  x per-channel weight scale), applies bias + LeakyReLU, then dynamically
+  requantizes for the next layer; the last layer writes ``odtype``.
 
   Mosaic constraint driving the structure (probe_mosaic_prims.py): bf16
   vectors cannot be sublane-rotated, but VMEM refs CAN be read/written at
@@ -250,14 +263,25 @@ def _chain_kernel(*refs, plans, groups, n_perms, height, pad_mode, cdtype):
   lane rolls via ``_lane_roll``.
   """
   nl = len(plans)
+  stride = 3 if quant else 2
   x_ref = refs[0]
-  w_refs = [refs[1 + 2 * i] for i in range(nl)]
-  b_refs = [refs[2 + 2 * i] for i in range(nl)]
-  perm_refs = refs[1 + 2 * nl:1 + 2 * nl + n_perms]
-  out_ref = refs[1 + 2 * nl + n_perms]
-  slabs = refs[2 + 2 * nl + n_perms:2 + 3 * nl + n_perms]
-  shifted = refs[2 + 3 * nl + n_perms:2 + 4 * nl + n_perms]
+  base = 1
+  if quant:
+    a0_ref = refs[1]
+    base = 2
+  w_refs = [refs[base + stride * i] for i in range(nl)]
+  b_refs = [refs[base + 1 + stride * i] for i in range(nl)]
+  if quant:
+    s_refs = [refs[base + 2 + stride * i] for i in range(nl)]
+  perm_refs = refs[base + stride * nl:base + stride * nl + n_perms]
+  out_ref = refs[base + stride * nl + n_perms]
+  slabs = refs[base + 1 + stride * nl + n_perms:
+               base + 1 + stride * nl + n_perms + nl]
+  shifted = refs[base + 1 + stride * nl + n_perms + nl:
+                 base + 1 + stride * nl + n_perms + 2 * nl]
 
+  a_scale = a0_ref[0, 0] if quant else None
+  acc_t = jnp.int32 if quant else jnp.float32
   cur = x_ref[0]
   for li, lp in enumerate(plans):
     a_ref = slabs[li]
@@ -333,7 +357,7 @@ def _chain_kernel(*refs, plans, groups, n_perms, height, pad_mode, cdtype):
           if perm_idx is not None:
             val = jax.lax.dot_general(
                 val, perm_refs[perm_idx][:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(cdtype)
+                preferred_element_type=acc_t).astype(cdtype)
         o = jnp.where(mask, val, o)
 
       for dy in range(lp.k):
@@ -341,21 +365,31 @@ def _chain_kernel(*refs, plans, groups, n_perms, height, pad_mode, cdtype):
             o[dy * g:dy * g + m_rows],
             w_refs[li][j * lp.k + dy],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=acc_t)
         acc = part if acc is None else acc + part
 
+    if quant:
+      # dequantize: int32 counts -> f32 via act scale x per-channel weight
+      # scale, then bias + activation in f32 (exact per-layer semantics)
+      acc = acc.astype(jnp.float32) * (s_refs[li][:] * a_scale)
     acc = acc + b_refs[li][:]
     if lp.leakiness is not None:
       acc = jnp.where(acc >= 0, acc, lp.leakiness * acc)
-    y = acc.astype(cdtype)
 
     if li + 1 < nl:
+      if quant:   # dynamic per-program requantization for the next layer
+        amax = jnp.maximum(jnp.max(jnp.abs(acc)), 1e-8)
+        y = jnp.clip(jnp.round(acc * (127.0 / amax)), -127,
+                     127).astype(jnp.int8)
+        a_scale = amax / 127.0
+      else:
+        y = acc.astype(cdtype)
       nxt = plans[li + 1]
       if nxt.p != lp.p:   # repack pixel grouping (pure row-major reshape)
         y = y.reshape(height * nxt.g, nxt.p * nxt.cin)
       cur = y
     else:
-      out_ref[0] = y
+      out_ref[0] = acc.astype(odtype if quant else cdtype)
 
 
 def layer_fusable(cin, cout, k, width, height):
@@ -396,12 +430,20 @@ def _xla_layer(x, layer, pad_mode):
 
 
 def chain_forward(x, layers: Sequence[ChainLayer], *, pad_mode='reflection',
-                  interpret=False):
-  """Run a conv chain, fusing the longest eligible suffix in one kernel.
+                  interpret=False, min_cin=64, need_cin=128):
+  """Run a conv chain, fusing the longest profitable suffix in one kernel.
 
-  Layers ahead of the fused suffix (e.g. the U-Net's 2->32 stem, below the
-  kernel's packing floor) run as plain XLA SAME convs on the same folded
-  weights. Result is numerically equivalent to running every layer
+  Measured policy (scripts/perf_conv_kernel.py on v5e, NOTES round 3): the
+  kernel beats XLA only where MXU packing utilization is high — P=1 layers
+  (Cin >= 128, 100% util: 1.57 vs 2.65 ms isolated, chain 3.17 vs 3.82)
+  and chains anchored by them (s2 64->128->128: 3.31 vs 3.66). At
+  C=32/64 the pixel-packing ceiling (50/67%) plus carry-select VPU work
+  loses to XLA's composed conv emitter, so those chains stay XLA: the
+  fused suffix takes layers with Cin >= ``min_cin`` and only engages if
+  some suffix layer has Cin >= ``need_cin``.
+
+  Layers ahead of the fused suffix run as plain XLA SAME convs on the
+  same folded weights. Numerically equivalent to running every layer
   through XLA at the same compute dtype.
   """
   b, h, w, _ = x.shape
@@ -409,10 +451,12 @@ def chain_forward(x, layers: Sequence[ChainLayer], *, pad_mode='reflection',
   start = n
   for i in range(n - 1, -1, -1):
     kh, kw, cin, cout = layers[i].kernel.shape
-    if layer_fusable(cin, cout, kw, w, h):
+    if cin >= min_cin and layer_fusable(cin, cout, kw, w, h):
       start = i
     else:
       break
+  if not any(lay.kernel.shape[2] >= need_cin for lay in layers[start:]):
+    start = n
   for lay in layers[:start]:
     x = _xla_layer(x, lay, pad_mode)
   if start < n:
@@ -425,11 +469,16 @@ def chain_forward(x, layers: Sequence[ChainLayer], *, pad_mode='reflection',
 
 
 def fused_conv_chain(x, layers: Sequence[ChainLayer], *,
-                     pad_mode='reflection', interpret=False):
+                     pad_mode='reflection', interpret=False,
+                     act_scale=None, out_dtype=None):
   """Run a chain of SAME stride-1 convs (+LeakyReLU) as one Pallas kernel.
 
   x: (B, H, W, Cin) — compute dtype is x.dtype (bf16 on the TPU path).
   Returns (B, H, W, Cout_last) in x.dtype.
+
+  int8 serving mode: pass x already quantized to int8, ``act_scale`` (B,)
+  f32 per-element activation scales, per-layer int8 kernels with
+  ``w_scale`` set, and ``out_dtype`` for the dequantized output.
   """
   assert pad_mode in ('reflection', 'replication', 'zero')
   b, h, w, cin0 = x.shape
@@ -438,11 +487,21 @@ def fused_conv_chain(x, layers: Sequence[ChainLayer], *,
   for prev, nxt in zip(layers[:-1], layers[1:]):
     assert prev.kernel.shape[3] == nxt.kernel.shape[2], 'chain channel chain'
   cdtype = x.dtype
+  quant = cdtype == jnp.int8
+  if quant:
+    assert act_scale is not None and out_dtype is not None, \
+        'int8 mode needs act_scale and out_dtype'
+    assert all(l.w_scale is not None for l in layers), \
+        'int8 mode needs per-layer w_scale'
   plans = _plan(layers, w, pad_mode)
 
   flat_in = [x.reshape(b, h * plans[0].g, plans[0].p * cin0)]
   in_specs = [pl.BlockSpec((1, h * plans[0].g, plans[0].p * cin0),
                            lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+  if quant:
+    flat_in.append(act_scale.astype(jnp.float32).reshape(b, 1))
+    in_specs.append(pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
   for layer, lp in zip(layers, plans):
     wa = _pack_weights(layer.kernel, lp.p).astype(cdtype)
     bias = layer.bias if layer.bias is not None else \
@@ -453,6 +512,11 @@ def fused_conv_chain(x, layers: Sequence[ChainLayer], *,
                                  memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec(ba.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))
+    if quant:
+      sa = jnp.tile(layer.w_scale.astype(jnp.float32), lp.p)[None, :]
+      flat_in.append(sa)
+      in_specs.append(pl.BlockSpec(sa.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM))
 
   # Fixup groups; lane-permutation matrices ride as kernel inputs
   # (pallas forbids captured array constants).
@@ -487,10 +551,12 @@ def fused_conv_chain(x, layers: Sequence[ChainLayer], *,
 
   kern = functools.partial(_chain_kernel, plans=plans, groups=groups,
                            n_perms=len(perm_arrays), height=h,
-                           pad_mode=pad_mode, cdtype=cdtype)
+                           pad_mode=pad_mode, cdtype=cdtype, quant=quant,
+                           odtype=out_dtype)
   out = pl.pallas_call(
       kern,
-      out_shape=jax.ShapeDtypeStruct((b, h * g_out, l_out), cdtype),
+      out_shape=jax.ShapeDtypeStruct((b, h * g_out, l_out),
+                                     out_dtype if quant else cdtype),
       grid=(b,),
       in_specs=in_specs,
       out_specs=pl.BlockSpec((1, h * g_out, l_out), lambda i: (i, 0, 0),

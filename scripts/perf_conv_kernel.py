@@ -86,13 +86,22 @@ def probe_mixed(tag, specs, size, pad_mode='reflection'):
   flops = 2 * BATCH * size * size * sum(k * k * ci * co
                                         for k, ci, co in specs)
 
-  def xla_n(x, *wb):
+  def fit(y):
+    # timed_scan carries the input shape: adapt the chain output's
+    # channel count (slice or duplicate) while keeping data dependence
+    co = y.shape[-1]
+    if co >= cin:
+      return y[..., :cin]
+    reps = -(-cin // co)
+    return jnp.concatenate([y] * reps, axis=-1)[..., :cin]
+
+  def xla_n(x):
     for lay in layers:
       x = xla_conv(x, lay.kernel, lay.bias, pad_mode)
-    return x
+    return fit(x)
 
-  def pal_n(x, *wb):
-    return fused_conv_chain(x, layers, pad_mode=pad_mode)
+  def pal_n(x):
+    return fit(fused_conv_chain(x, layers, pad_mode=pad_mode))
 
   report(tag + ' XLA', timed_scan(xla_n, x), flops)
   report(tag + ' pallas fused', timed_scan(pal_n, x), flops)
@@ -120,6 +129,9 @@ def main(argv):
                 64)
   if 'd0' in probes:
     probe_mixed('d0 merge 128->64 @128', ((4, 128, 64),), 128)
+  if 'd0chain' in probes:
+    probe_mixed('d0 chain 128->64->64 @128',
+                ((4, 128, 64), (4, 64, 64)), 128)
 
 
 if __name__ == '__main__':

@@ -101,11 +101,15 @@ def test_chain_forward_splits_stem():
 
 
 def test_unet_fused_inference_equivalence():
-  """UNET(fused_inference=True) == UNET(False) in eval mode (BN folded)."""
+  """UNET(fused_inference=True) == UNET(False) in eval mode (BN folded).
+
+  Flagship-shaped (encode [32,64,128]) so the C>=128 fusion policy
+  actually engages on the s2 chain."""
   from csmri_refinement_tpu.models.unet import UNET
   rng = np.random.RandomState(3)
   kw = dict(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
-            encode_filters=[32, 64], decode_filters=[32], kernel_size=4,
+            encode_filters=[32, 64, 128], decode_filters=[64, 32],
+            kernel_size=4,
             upsampling_mode='nn-resize-conv', output_activation='none',
             padding='reflection', decoder_act_upsampling_only=True)
   x = jnp.asarray(rng.randn(2, 64, 64, 2).astype(np.float32))
@@ -125,3 +129,41 @@ def test_unet_fused_inference_equivalence():
   got = fused.apply(variables, x, train=False)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                              rtol=0, atol=5e-4)
+
+
+def test_int8_chain_quality():
+  """int8 serving mode: quantized chain tracks f32 within 8-bit error."""
+  from csmri_refinement_tpu.ops.quantize import chain_forward_int8
+  from csmri_refinement_tpu.ops.conv_pallas import chain_forward
+  rng = np.random.RandomState(11)
+  layers = (_mk(rng, 4, 32, 32), _mk(rng, 4, 32, 32))
+  x = jnp.asarray(rng.randn(2, 16, 64, 32).astype(np.float32))
+  want = np.asarray(chain_forward(x, layers, pad_mode='reflection',
+                                  interpret=True))
+  got = np.asarray(chain_forward_int8(x, layers, pad_mode='reflection',
+                                      interpret=True))
+  assert got.shape == want.shape
+  denom = np.abs(want).max()
+  rel = np.abs(got - want).max() / denom
+  assert rel < 0.04, 'int8 relative error too large: {}'.format(rel)
+  # and it must NOT be bit-identical (the quantization actually ran)
+  assert np.abs(got - want).max() > 0
+
+
+def test_unet_quantized_inference_mode():
+  """UNET(quantize_inference=True) is close to, not identical to, f32."""
+  from csmri_refinement_tpu.models.unet import UNET
+  rng = np.random.RandomState(4)
+  kw = dict(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
+            encode_filters=[32, 64], decode_filters=[32], kernel_size=4,
+            upsampling_mode='nn-resize-conv', output_activation='none',
+            padding='reflection', decoder_act_upsampling_only=True)
+  x = jnp.asarray(rng.randn(2, 64, 64, 2).astype(np.float32))
+  model = UNET(**kw)
+  variables = model.init(jax.random.PRNGKey(0), x, train=False)
+  want = np.asarray(model.apply(variables, x, train=False))
+  qmodel = UNET(quantize_inference=True, **kw)
+  got = np.asarray(qmodel.apply(variables, x, train=False))
+  rel = np.abs(got - want).max() / np.abs(want).max()
+  assert rel < 0.05, rel
+  assert np.abs(got - want).max() > 0
