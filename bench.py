@@ -19,6 +19,9 @@ TARGET = 5000.0  # slices/sec/chip (BASELINE.json north star)
 
 
 def build_forward(image_size, dtype_str, fused_conv=False):
+  """dtype_str: f32 | bf16 | int8 (int8 = bf16 compute with the opt-in
+  quantized U-Net serving mode, ops/quantize.py — outside the 0.1 dB
+  default quality budget)."""
   import jax
   import jax.numpy as jnp
   from csmri_refinement_tpu.models.recnet import RecNet
@@ -27,7 +30,8 @@ def build_forward(image_size, dtype_str, fused_conv=False):
       RefinementWrapper)
   import csmri_refinement_tpu.ops.undersample as us_ops
 
-  dtype = jnp.bfloat16 if dtype_str == 'bf16' else None
+  quantized = dtype_str == 'int8'
+  dtype = jnp.bfloat16 if dtype_str in ('bf16', 'int8') else None
 
   pretrained = RecNet(num_blocks=3, num_convs=3, num_filters=32, dtype=dtype)
   learnable = UNET(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
@@ -35,7 +39,8 @@ def build_forward(image_size, dtype_str, fused_conv=False):
                    kernel_size=4, upsampling_mode='nn-resize-conv',
                    output_activation='none', padding='reflection',
                    decoder_act_upsampling_only=True, dtype=dtype,
-                   fused_inference=fused_conv)
+                   fused_inference=fused_conv,
+                   quantize_inference=quantized)
   model = RefinementWrapper(pretrained_model=pretrained,
                             learnable_model=learnable,
                             mode='real-penalty-add', input_mode='output')
@@ -217,7 +222,8 @@ def main(argv):
   parser.add_argument('--image-size', type=int, default=256)
   parser.add_argument('--iters', type=int, default=10)
   parser.add_argument('--warmup', type=int, default=3)
-  parser.add_argument('--dtype', default='bf16', choices=['f32', 'bf16'])
+  parser.add_argument('--dtype', default='bf16',
+                      choices=['f32', 'bf16', 'int8'])
   parser.add_argument('--platform', default=None, choices=['cpu', 'tpu'])
   parser.add_argument('--profile', metavar='DIR', default=None,
                       help='dump a jax.profiler trace of the timed loop')

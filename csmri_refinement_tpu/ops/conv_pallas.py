@@ -280,7 +280,7 @@ def _chain_kernel(*refs, plans, groups, n_perms, height, pad_mode, cdtype,
   shifted = refs[base + 1 + stride * nl + n_perms + nl:
                  base + 1 + stride * nl + n_perms + 2 * nl]
 
-  a_scale = a0_ref[0, 0] if quant else None
+  a_scale = a0_ref[pl.program_id(0), 0] if quant else None
   acc_t = jnp.int32 if quant else jnp.float32
   cur = x_ref[0]
   for li, lp in enumerate(plans):
@@ -357,6 +357,7 @@ def _chain_kernel(*refs, plans, groups, n_perms, height, pad_mode, cdtype,
           if perm_idx is not None:
             val = jax.lax.dot_general(
                 val, perm_refs[perm_idx][:], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=acc_t).astype(cdtype)
         o = jnp.where(mask, val, o)
 
@@ -365,6 +366,7 @@ def _chain_kernel(*refs, plans, groups, n_perms, height, pad_mode, cdtype,
             o[dy * g:dy * g + m_rows],
             w_refs[li][j * lp.k + dy],
             (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=acc_t)
         acc = part if acc is None else acc + part
 
@@ -499,9 +501,11 @@ def fused_conv_chain(x, layers: Sequence[ChainLayer], *,
   in_specs = [pl.BlockSpec((1, h * plans[0].g, plans[0].p * cin0),
                            lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
   if quant:
+    # whole-array SMEM block (per-step blocks fail the (8,128) divisibility
+    # check); the kernel indexes it by pl.program_id
     flat_in.append(act_scale.astype(jnp.float32).reshape(b, 1))
-    in_specs.append(pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((b, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM))
   for layer, lp in zip(layers, plans):
     wa = _pack_weights(layer.kernel, lp.p).astype(cdtype)
     bias = layer.bias if layer.bias is not None else \

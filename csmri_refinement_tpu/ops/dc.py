@@ -79,9 +79,9 @@ def _dc_fused_bwd(mask, g):
 _dc_fused.defvjp(_dc_fused_fwd, _dc_fused_bwd)
 
 
-def _split_mats(n, inverse, scale):
+def _split_mats(n, inverse, scale, twiddle_parent=0, row_side=True):
   import numpy as np
-  f = fft._scaled_dft_np(n, inverse, scale)
+  f = fft._scaled_dft_np(n, inverse, scale, twiddle_parent, row_side)
   return (jnp.asarray(np.real(f), jnp.float32),
           jnp.asarray(np.imag(f), jnp.float32))
 
@@ -115,20 +115,33 @@ def _dft_axis_split(br, bi, inverse, scale, last_axis):
     else:
       mm = lambda a, c: jnp.einsum('hk,bkw->bhw', c, a, precision='high')
     return (mm(br, fr) - mm(bi, fi), mm(bi, fr) + mm(br, fi))
-  wr, wi = _split_twiddle(n, inverse)
   if last_axis:
-    er, ei = _dft_axis_split(br[..., 0::2], bi[..., 0::2], inverse, scale,
-                             last_axis)
-    orr, oi = _dft_axis_split(br[..., 1::2], bi[..., 1::2], inverse, scale,
-                              last_axis)
+    ev = (br[..., 0::2], bi[..., 0::2])
+    od = (br[..., 1::2], bi[..., 1::2])
   else:
-    er, ei = _dft_axis_split(br[..., 0::2, :], bi[..., 0::2, :], inverse,
-                             scale, last_axis)
-    orr, oi = _dft_axis_split(br[..., 1::2, :], bi[..., 1::2, :], inverse,
-                              scale, last_axis)
-    wr, wi = wr[:, None], wi[:, None]
-  tr = wr * orr - wi * oi
-  ti = wr * oi + wi * orr
+    ev = (br[..., 0::2, :], bi[..., 0::2, :])
+    od = (br[..., 1::2, :], bi[..., 1::2, :])
+  er, ei = _dft_axis_split(ev[0], ev[1], inverse, scale, last_axis)
+  half = n // 2
+  if half <= fft._RADIX_BASE or half % 2:
+    # children are dense: fold the DIT twiddle diag(w) into the odd
+    # child's matrices — skips the 6-pass elementwise complex twiddle
+    # over the whole batch (the measured 512^2 DC overhead, NOTES r3)
+    fr, fi = _split_mats(half, inverse, scale, twiddle_parent=n,
+                         row_side=not last_axis)
+    if last_axis:
+      mm = lambda a, c: jnp.einsum('bhk,kw->bhw', a, c, precision='high')
+    else:
+      mm = lambda a, c: jnp.einsum('hk,bkw->bhw', c, a, precision='high')
+    tr = mm(od[0], fr) - mm(od[1], fi)
+    ti = mm(od[1], fr) + mm(od[0], fi)
+  else:
+    orr, oi = _dft_axis_split(od[0], od[1], inverse, scale, last_axis)
+    wr, wi = _split_twiddle(n, inverse)
+    if not last_axis:
+      wr, wi = wr[:, None], wi[:, None]
+    tr = wr * orr - wi * oi
+    ti = wr * oi + wi * orr
   axis = -1 if last_axis else -2
   return (jnp.concatenate([er + tr, er - tr], axis=axis),
           jnp.concatenate([ei + ti, ei - ti], axis=axis))

@@ -73,16 +73,27 @@ _RADIX_BASE = int(os.environ.get('CSMRI_TPU_DFT_RADIX_BASE', '256'))
 
 
 @functools.lru_cache(maxsize=32)
-def _scaled_dft_np(n, inverse, scale):
+def _scaled_dft_np(n, inverse, scale, twiddle_parent=0, row_side=True):
   """(conj-)DFT matrix of size n times `scale` (host constant).
 
   The radix recursion composes pure DFTs (no per-level normalization), so
   the ortho 1/sqrt(n_total) factor is folded into the base-case matrix.
+
+  ``twiddle_parent`` > 0 additionally folds the radix-2 DIT twiddle
+  diag(w) of that parent size into the matrix (diag(w) @ F for row
+  transforms, F @ diag(w) for column transforms) — the odd half of the
+  last split level then needs NO separate elementwise twiddle pass over
+  the batch (measured win at 512^2, NOTES round 3).
   """
   mat = np.fft.fft(np.eye(n))
   if inverse:
     mat = np.conj(mat)
-  return (mat * scale).astype(np.complex64)
+  mat = mat * scale
+  if twiddle_parent:
+    sign = 2j if inverse else -2j
+    w = np.exp(sign * np.pi * np.arange(n) / twiddle_parent)
+    mat = w[:, None] * mat if row_side else mat * w[None, :]
+  return mat.astype(np.complex64)
 
 
 @functools.lru_cache(maxsize=32)
@@ -102,14 +113,26 @@ def _dft_axis(x, inverse, scale, last_axis):
       return jnp.einsum('...hw,wl->...hl', x, f, precision='highest')
     return jnp.einsum('hk,...kw->...hw', f, x, precision='highest')
   # DIT split: X[k] = E[k] + w_k·O[k]; X[k+n/2] = E[k] - w_k·O[k]
-  w = jnp.asarray(_twiddle_np(n, inverse))
   if last_axis:
     even, odd = x[..., 0::2], x[..., 1::2]
   else:
     even, odd = x[..., 0::2, :], x[..., 1::2, :]
-    w = w[:, None]
   e = _dft_axis(even, inverse, scale, last_axis)
-  o = w * _dft_axis(odd, inverse, scale, last_axis)
+  half = n // 2
+  if half <= _RADIX_BASE or half % 2:
+    # children are dense: fold diag(w) into the odd child's matrix — no
+    # elementwise twiddle pass over the batch
+    f = jnp.asarray(_scaled_dft_np(half, inverse, scale,
+                                   twiddle_parent=n, row_side=not last_axis))
+    if last_axis:
+      o = jnp.einsum('...hw,wl->...hl', odd, f, precision='highest')
+    else:
+      o = jnp.einsum('hk,...kw->...hw', f, odd, precision='highest')
+  else:
+    w = jnp.asarray(_twiddle_np(n, inverse))
+    if not last_axis:
+      w = w[:, None]
+    o = w * _dft_axis(odd, inverse, scale, last_axis)
   return jnp.concatenate([e + o, e - o], axis=-1 if last_axis else -2)
 
 
