@@ -64,12 +64,13 @@ def _dft_matrix_np(n, inverse):
 
 
 # Largest transform applied as one dense DFT matmul. Above this, one or more
-# radix-2 Cooley-Tukey splits run instead: the dense matmul is O(N²) per
-# output row/col, so a 512-point transform costs 2× more MACs per pixel than
-# two 256-point halves plus an elementwise twiddle — per split level the
-# matmul FLOPs halve. 256 keeps the MXU-friendly dense base case for the
-# default working resolution while 512/1024 images get 1/2 split levels.
-_RADIX_BASE = int(os.environ.get('CSMRI_TPU_DFT_RADIX_BASE', '256'))
+# radix-2 Cooley-Tukey splits run instead (matmul FLOPs halve per level, at
+# the cost of strided even/odd slices + concats over the whole batch).
+# Measured on v5e at B128@512 (scripts/perf_dc512.py, NOTES round 3): the
+# DENSE 512 DFT wins 2x over one split level (11.9 vs 22.2 ms per DC) —
+# the slice/concat relayouts and narrower GEMMs cost far more than the 2x
+# MAC saving, so splits only engage above 512 (1024+ images).
+_RADIX_BASE = int(os.environ.get('CSMRI_TPU_DFT_RADIX_BASE', '512'))
 
 
 @functools.lru_cache(maxsize=32)

@@ -6,9 +6,10 @@ Framework-native replacement for the reference's results summarizer
 around a pandas-DataFrame API rather than ported. Kept: run grouping,
 mean ± std and percentile summaries, Wilcoxon/t significance testing, SIS
 normalization, text/LaTeX/CSV output, and the two-group difference row.
-Dropped (no replacement): the reference's --order/--filter/--no-name
-flags and verbose per-run listings — grouping is by filename convention
-and selection by shell globbing instead.
+Reference flag parity: ``--order`` (comma keys; first group containing
+each key, in key order), ``--filter`` (comma substrings; EXCLUDES matching
+groups, like the reference), ``--no-name``, and ``-v`` verbose per-group
+run listings (summarize_results.py:21-44,238-253).
 
 * group repeat runs of the same experiment (``<prefix>_<name>_<date>.csv``
   naming, or one group per file),
@@ -100,9 +101,29 @@ def significance_matrix(grouped, mode='wilcoxon'):
   return mat
 
 
+def apply_group_selection(groups, order=None, exclude=None):
+  """Reference-parity group selection (summarize_results.py:238-253):
+  ``exclude`` drops groups whose name contains any substring; ``order``
+  lists keys — output keeps, for each key, the first group containing it
+  (in key order)."""
+  if exclude:
+    groups = OrderedDict((n, r) for n, r in groups.items()
+                         if not any(key in n for key in exclude))
+  if order:
+    picked = OrderedDict()
+    for key in order:
+      for name in groups:
+        if key in name and name not in picked:
+          picked[name] = groups[name]
+          break
+    groups = picked
+  return groups
+
+
 def summarize(csv_paths, metric, percentiles=(0, 25, 50, 75, 100),
               sis_gt_perf=REC_DICE_GT, stest_mode=None,
-              significance_level=0.05, with_diff=True):
+              significance_level=0.05, with_diff=True, order=None,
+              exclude=None):
   """Build the summary table for one metric.
 
   Returns a DataFrame indexed by experiment group with columns
@@ -111,6 +132,7 @@ def summarize(csv_paths, metric, percentiles=(0, 25, 50, 75, 100),
   """
   samples = load_metric_samples(csv_paths, metric)
   groups = group_runs(samples)
+  groups = apply_group_selection(groups, order, exclude)
   grouped = _group_samples(samples, groups)
 
   rows = []
@@ -159,7 +181,7 @@ def summarize(csv_paths, metric, percentiles=(0, 25, 50, 75, 100),
 
 
 def format_table(table, metric, fmt='plain', precision=None, show_std=True,
-                 show_percentiles=False):
+                 show_percentiles=False, show_name=True):
   """Render the summary: plain text, LaTeX (best group bold, * = sig.) or
   raw CSV."""
   if precision is None:
@@ -183,7 +205,7 @@ def format_table(table, metric, fmt='plain', precision=None, show_std=True,
       if name == best:
         value = r'\mathbf{{{}}}'.format(value)
       value = '${}$'.format(value)
-    line = '{:{w}}{}'.format(name, value, w=width)
+    line = '{:{w}}{}'.format(name, value, w=width) if show_name else value
     if show_percentiles:
       percs = [c for c in table.columns if c.startswith('p')]
       line += '   [' + '/'.join(num(row[c]) for c in percs) + ']'
@@ -216,23 +238,47 @@ def build_parser():
   parser.add_argument('--sis-gt-perf', type=float, default=REC_DICE_GT,
                       help='GT-reconstruction dice used to normalize '
                            'segscore into SIS')
+  parser.add_argument('-o', '--order', default=None,
+                      help='comma-separated keys; output keeps the first '
+                           'group containing each key, in key order')
+  parser.add_argument('-f', '--filter', default=None, dest='filter_keys',
+                      help='comma-separated substrings; groups containing '
+                           'any are EXCLUDED (reference semantics)')
+  parser.add_argument('--no-name', action='store_true',
+                      help='do not print leading group names')
+  parser.add_argument('-v', '--verbose', action='store_true',
+                      help='list CSV columns and per-group run membership')
   return parser
 
 
 def main(argv):
   args = build_parser().parse_args(argv)
   csvs = [p for p in args.inputs if p.endswith('.csv')]
+  order = args.order.split(',') if args.order else None
+  exclude = args.filter_keys.split(',') if args.filter_keys else None
+
+  if args.verbose:
+    for path in csvs:
+      print('Available columns in {}'.format(path))
+      print(list(pd.read_csv(path, nrows=0).columns))
+    groups = apply_group_selection(
+        group_runs([os.path.basename(p) for p in csvs]), order, exclude)
+    for name, runs in groups.items():
+      print('{}: {}'.format(name, ', '.join(runs)))
+    print()
 
   for metric in args.metric_name.split(','):
     print(metric)
     table = summarize(csvs, metric, sis_gt_perf=args.sis_gt_perf,
                       stest_mode=args.stest,
                       significance_level=args.slvl,
-                      with_diff=args.format != 'csv' or args.diff)
+                      with_diff=args.format != 'csv' or args.diff,
+                      order=order, exclude=exclude)
     print(format_table(table, metric, fmt=args.format,
                        precision=args.precision,
                        show_std=not args.no_std,
-                       show_percentiles=args.percentiles))
+                       show_percentiles=args.percentiles,
+                       show_name=not args.no_name))
     if args.pvalues and args.stest:
       samples = load_metric_samples(csvs, metric)  # cheap: small CSVs
       grouped = _group_samples(samples, group_runs(samples))

@@ -196,6 +196,36 @@ def test_summarize_results_cli(tmp_path, capsys):
   assert '29.00' in out
 
 
+def test_summarize_order_filter_noname(tmp_path, capsys):
+  """Reference flag parity: --order picks/reorders groups by key substring,
+  --filter EXCLUDES matching groups, --no-name drops leading names
+  (reference summarize_results.py:21-44,238-253)."""
+  import summarize_results
+  import pandas as pd
+  for name, base in (('runA', 30.0), ('runB', 28.0), ('runC', 26.0)):
+    pd.DataFrame({'psnr': [base, base + 1.0]}).to_csv(
+        str(tmp_path / 'scarseg_{}_2020.csv'.format(name)))
+  csvs = sorted(str(p) for p in tmp_path.glob('*.csv'))
+
+  summarize_results.main(['--metric-name', 'psnr', '-o', 'runC,runA'] + csvs)
+  out = capsys.readouterr().out
+  lines = [l for l in out.splitlines() if 'run' in l]
+  assert lines[0].startswith('runC') and lines[1].startswith('runA')
+  assert not any('runB' in l for l in lines)
+
+  summarize_results.main(['--metric-name', 'psnr', '-f', 'runB'] + csvs)
+  out = capsys.readouterr().out
+  assert 'runB' not in out and 'runA' in out and 'runC' in out
+
+  summarize_results.main(['--metric-name', 'psnr', '--no-name'] + csvs)
+  out = capsys.readouterr().out
+  assert 'runA' not in out and '30.50' in out
+
+  summarize_results.main(['--metric-name', 'psnr', '-v'] + csvs)
+  out = capsys.readouterr().out
+  assert 'Available columns' in out and 'runA:' in out
+
+
 def test_average_dice_metric_via_registry():
   from csmri_refinement_tpu.metrics import get_metric_fn
   conf = Configuration.from_dict({
