@@ -250,9 +250,19 @@ def main(argv):
 
   if args.train:
     # paper recipe batch 5 (per-step fetch + scanned), and the large-batch
-    # throughput mode (conv rates on this chip are ∝ min(batch, 128))
-    run_train_bench(args.image_size, 5, args.train_steps)
-    run_train_bench(args.image_size, 64, max(args.train_steps // 2, 2))
+    # throughput mode (conv rates on this chip are ∝ min(batch, 128);
+    # batch 64 RESOURCE_EXHAUSTs HBM for the 5-network GAN step — 32 is
+    # the measured ceiling). Each row is best-effort: a failure must not
+    # kill the stdout contract.
+    for bs, st in ((5, args.train_steps), (32, max(args.train_steps // 2, 2))):
+      try:
+        run_train_bench(args.image_size, bs, st)
+      except Exception as e:
+        sys.stderr.write(json.dumps({
+            'metric': '{s}x{s} GAN train samples/sec/chip (batch {b})'
+                      .format(s=args.image_size, b=bs),
+            'error': type(e).__name__}) + '\n')
+        sys.stderr.flush()
 
   dtype = args.dtype
   try:
