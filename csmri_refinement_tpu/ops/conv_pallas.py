@@ -416,6 +416,21 @@ def layer_fusable(cin, cout, k, width, height):
   return True
 
 
+def _vmem_estimate(layers, width, height, pad_mode, itemsize):
+  """Rough per-program VMEM bytes for a fused chain: 2 slab scratches,
+  ~4 transient slab-sized vectors per layer (operands, selects, fixups),
+  and 2 f32 accumulator-sized values. Used to trim fused suffixes that
+  would exceed the compiler's vmem budget (measured OOM: int8 s0 chain at
+  512^2 wanted 152M of 128M — the f32 accumulator dominates there)."""
+  plans = _plan(layers, width, pad_mode)
+  return sum(6 * (height + lp.k - 1) * lp.g * lp.p * lp.cin * itemsize +
+             2 * height * lp.g * lp.p * lp.cout * 4
+             for lp in plans)
+
+
+_VMEM_BUDGET = 64 * 1024 * 1024
+
+
 def _xla_layer(x, layer, pad_mode):
   """One SAME conv + bias + LeakyReLU via XLA (same folded semantics)."""
   from csmri_refinement_tpu.models.layers import same_conv
@@ -459,6 +474,9 @@ def chain_forward(x, layers: Sequence[ChainLayer], *, pad_mode='reflection',
       break
   if not any(lay.kernel.shape[2] >= need_cin for lay in layers[start:]):
     start = n
+  while start < n and _vmem_estimate(layers[start:], w, h, pad_mode,
+                                     x.dtype.itemsize) > _VMEM_BUDGET:
+    start += 1
   for lay in layers[:start]:
     x = _xla_layer(x, lay, pad_mode)
   if start < n:

@@ -75,6 +75,9 @@ def chain_forward_int8(x, layers, *, pad_mode='reflection',
       start = i
     else:
       break
+  while start < n and conv_pallas._vmem_estimate(
+      layers[start:], w, h, pad_mode, 1) > conv_pallas._VMEM_BUDGET:
+    start += 1
   for lay in layers[:start]:
     x = conv_pallas._xla_layer(x, lay, pad_mode)
   if start < n:

@@ -50,6 +50,11 @@ def main():
   ap = argparse.ArgumentParser()
   ap.add_argument('--sizes', type=int, nargs='*', default=[256, 512])
   ap.add_argument('--batch', type=int, default=8)
+  ap.add_argument('--checkpoint', default=None,
+                  help='trained checkpoint; its model/generator weights '
+                       'replace the random init (random init understates '
+                       'int8 impact — the refinement term is small there)')
+  ap.add_argument('--model-key', default='generator')
   args = ap.parse_args()
 
   import jax
@@ -72,10 +77,16 @@ def main():
         k, t, 'varden', 8))(jax.random.PRNGKey(0), target)
 
     # identical f32 weights for every mode (bf16 casts at apply time)
-    ref_model = build(size, 'f32')
-    variables = jax.jit(lambda i, k, m: ref_model.init(
-        jax.random.PRNGKey(2), i, k, m))(
-            batch['inp'], batch['kspace'], batch['mask'])
+    if args.checkpoint:
+      from csmri_refinement_tpu.utils.checkpoints import (
+          load_model_state_dict)
+      variables = jax.device_put(
+          load_model_state_dict(args.checkpoint, args.model_key))
+    else:
+      ref_model = build(size, 'f32')
+      variables = jax.jit(lambda i, k, m: ref_model.init(
+          jax.random.PRNGKey(2), i, k, m))(
+              batch['inp'], batch['kspace'], batch['mask'])
 
     base_psnr = base_ssim = None
     for name, kw in modes:

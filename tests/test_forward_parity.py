@@ -244,7 +244,9 @@ def test_vgg19_block_outputs_match_torch(rng, tmp_path):
 
   npz = str(tmp_path / 'vgg19.npz')
   keys = torch_import.convert_vgg19(tm.state_dict(), npz)
-  assert len(keys) == 32  # 16 convs x (weight, bias)
+  weight_keys = [k for k in keys if not k.startswith('__')]
+  assert len(weight_keys) == 32  # 16 convs x (weight, bias)
+  assert '__sha256__' in keys    # artifact-contract manifest entry
 
   params = load_vgg19_params(npz)
   model = VGG19(output_blocks=(0, 1, 2, 3, 4, 5))
