@@ -93,6 +93,87 @@ def _split_twiddle(n, inverse):
           jnp.asarray(np.imag(w), jnp.float32))
 
 
+# Dense block-GEMM DC lowering (round 3): one real GEMM per transform side
+# instead of four, with the complex algebra AND the packed-complex layout
+# permutations folded into the constant matrices. MEASURED LOSER on the
+# v5e (NOTES round 3: 1.76 vs 1.13 ms B128@256², 3.13 vs 2.41 B32@512²)
+# despite identical MACs — the (2n, 2n) GEMMs tile worse than the four
+# (n, n) split-real GEMMs whose combines XLA fuses into the epilogue.
+# Kept off by default; CSMRI_TPU_DC_BLOCK=1 re-enables for re-measurement.
+_DC_BLOCK = os.environ.get('CSMRI_TPU_DC_BLOCK', '0') != '0'
+
+
+@functools.lru_cache(maxsize=None)
+def _bmat(n, inverse, scale, in_layout, out_layout, side):
+  """(2n, 2n) real matrix applying the complex (i)DFT·scale as ONE GEMM.
+
+  The real/imag components ride the transform axis itself, so a complex
+  transform over axis length n becomes a real GEMM over axis length 2n —
+  same MACs as the 4-GEMM split-real form, but no operand re-reads and no
+  elementwise combine passes over (B, H, W) planes (the measured overhead
+  of the dense-DFT DC at 512², NOTES round 3).
+
+  ``in_layout``/``out_layout`` choose how re/im sit on the doubled axis:
+  'i' = interleaved (index 2j+c, i.e. a packed trailing (n, 2) pair viewed
+  flat, or a (n, 2, ...) pair viewed flat on a leading axis) or 'b' =
+  blocked (index c·n+j, i.e. a (2, n) split). Choosing layouts per call
+  site makes every relayout between packed complex and the GEMM chain a
+  pure reshape — the permutations live in the constant matrix.
+
+  ``side``: 'right' gives M[in, out] for ``z @ M``; 'left' gives
+  M[out, in] for ``M @ z``.
+  """
+  import numpy as np
+  f = fft._scaled_dft_np(n, inverse, scale)
+  fr = np.real(f).astype(np.float32)
+  fi = np.imag(f).astype(np.float32)
+  m = np.zeros((2 * n, 2 * n), np.float32)
+
+  def sl(layout, c):
+    return slice(c, None, 2) if layout == 'i' else slice(c * n, (c + 1) * n)
+
+  # out_re = zr·fr − zi·fi ; out_im = zr·fi + zi·fr   (f is symmetric, so
+  # the same entries serve both mult sides; only the index roles swap)
+  for (ci, co), blk in (((0, 0), fr), ((1, 0), -fi),
+                        ((0, 1), fi), ((1, 1), fr)):
+    if side == 'right':
+      m[sl(in_layout, ci), sl(out_layout, co)] = blk
+    else:
+      m[sl(out_layout, co), sl(in_layout, ci)] = blk
+  # Cache the NUMPY matrix: converting under a trace would cache (and
+  # leak) a tracer-tainted constant across traces (UnexpectedTracerError).
+  return m
+
+
+def _dc_block(x, k0, mask):
+  """Dense DC as four real GEMMs total (one per transform side).
+
+  Data stays in packed/compact layouts end to end: the packed (B,H,W,2)
+  input is *reshaped* (never transposed) into each GEMM, because the
+  re/im interleave and block permutations are folded into `_bmat`'s
+  constants. The only elementwise pass left is the masked k-space merge.
+  """
+  b, h, w = x.shape[0], x.shape[-3], x.shape[-2]
+  hs, ws = h ** -0.5, w ** -0.5
+  z = x.astype(jnp.float32).reshape(b, h, 2 * w)       # (w,2) pairs, flat
+  z = jnp.einsum('bhk,kw->bhw', z, _bmat(w, False, ws, 'i', 'b', 'right'),
+                 precision='high')                      # … @ F_w
+  z = z.reshape(b, h, 2, w)
+  z = jnp.einsum('ik,bkw->biw', _bmat(h, False, hs, 'i', 'i', 'left'),
+                 z.reshape(b, 2 * h, w), precision='high')  # F_h @ …
+  z = z.reshape(b, h, 2, w)
+  m = mask[..., 0].astype(jnp.float32)[:, :, None, :]
+  k0b = jnp.moveaxis(k0.astype(jnp.float32), -1, -2)   # fuses into merge
+  z = (1.0 - m) * z + k0b
+  z = jnp.einsum('ik,bkw->biw', _bmat(h, True, hs, 'i', 'i', 'left'),
+                 z.reshape(b, 2 * h, w), precision='high')  # conj(F_h) @ …
+  z = z.reshape(b, h, 2, w)
+  z = jnp.einsum('bhk,kw->bhw', z.reshape(b, h, 2 * w),
+                 _bmat(w, True, ws, 'b', 'i', 'right'),
+                 precision='high')                      # … @ conj(F_w)
+  return z.reshape(b, h, w, 2)
+
+
 def _dft_axis_split(br, bi, inverse, scale, last_axis):
   """Split-real (i)DFT·scale over rows (-2) or cols (-1) of (B, H, W)
   planes as batched GEMMs, with radix-2 Cooley-Tukey splits above
@@ -149,8 +230,12 @@ def _dft_axis_split(br, bi, inverse, scale, last_axis):
 
 @jax.custom_vjp
 def _dc_einsum(x, k0, mask):
-  """Split-real DC as batched GEMMs per transform side (radix-split DFT)."""
+  """GEMM DC: dense block lowering (one GEMM per transform side) up to
+  ``fft._RADIX_BASE``; split-real batched GEMMs with radix-2 splits
+  above it."""
   h, w = x.shape[-3], x.shape[-2]
+  if _DC_BLOCK and h <= fft._RADIX_BASE and w <= fft._RADIX_BASE:
+    return _dc_block(x, k0.astype(jnp.float32), mask)
   hs, ws = h ** -0.5, w ** -0.5
 
   ar, ai = x[..., 0].astype(jnp.float32), x[..., 1].astype(jnp.float32)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from csmri_refinement_tpu.ops import dc as dc_ops
 from csmri_refinement_tpu.ops.dc_pallas import dc_pallas
@@ -62,12 +63,17 @@ def test_dc_pallas_preserves_sampled_lines(rng):
   np.testing.assert_allclose(out_k[mask > 0], k0c[mask > 0], atol=2e-4)
 
 
-def test_dc_einsum_matches_reference_and_grads(rng):
-  """The batched-GEMM split-real DC (TPU default path) matches the numpy
-  golden and its custom VJP matches autodiff of the plain path."""
+@pytest.mark.parametrize('block', [False, True],
+                         ids=['split-real', 'block-gemm'])
+def test_dc_einsum_matches_reference_and_grads(rng, monkeypatch, block):
+  """The batched-GEMM DC (TPU default split-real path, plus the off-by-
+  default dense block lowering) matches the numpy golden and its custom
+  VJP matches autodiff of the plain path."""
   import jax
   import jax.numpy as jnp
   from csmri_refinement_tpu.ops import dc
+
+  monkeypatch.setattr(dc, '_DC_BLOCK', block)
 
   x = rng.randn(3, 16, 16, 2).astype(np.float32)
   k0 = rng.randn(3, 16, 16, 2).astype(np.float32)
