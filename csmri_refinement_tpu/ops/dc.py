@@ -34,6 +34,22 @@ from csmri_refinement_tpu.ops import fft
 _FUSED_MODE = os.environ.get('CSMRI_TPU_FUSED_DC', 'auto')
 
 
+# Set by the runners when the device mesh has a `spatial` axis: image rows
+# are sharded, and XLA:CPU's fft thunk rejects the non-dim0-major layouts
+# the partitioner produces around FFT HLOs — while the GEMM DC lowering
+# partitions cleanly on every backend (tests/test_parallel.py). TPU always
+# uses the GEMM path anyway, so this only changes CPU/GPU mesh runs.
+_SPATIAL_MESH = False
+
+
+def set_spatial_mesh(active):
+  """Declare that subsequent jitted steps run under a spatially-sharded
+  mesh (H axis partitioned), forcing the GEMM DC lowering on all
+  backends."""
+  global _SPATIAL_MESH
+  _SPATIAL_MESH = bool(active)
+
+
 def _gemm_mode(h, w, noise_lvl):
   """Pick the DC lowering: 'einsum' (batched GEMM split-real, any
   rectangular shape), 'pallas' (per-image fused kernel, square only), or
@@ -45,6 +61,8 @@ def _gemm_mode(h, w, noise_lvl):
     return 'pallas' if h == w else None  # Pallas kernel is square-only
   if _FUSED_MODE == '0':
     return None
+  if _SPATIAL_MESH:
+    return 'einsum'
   if jax.default_backend() in ('cpu', 'gpu', 'cuda', 'rocm'):
     return None
   return 'einsum'
@@ -254,10 +272,18 @@ def _dc_einsum_fwd(x, k0, mask):
 
 
 def _dc_einsum_bwd(mask, g):
-  # Same Hermitian structure as the fused kernel's VJP (see _dc_fused_bwd)
+  # Same Hermitian structure as the fused kernel's VJP (see _dc_fused_bwd).
+  # grad_k0 = F(g) uses the same GEMM-DFT lowering as the forward: keeps
+  # backward precision pinned like the forward, and keeps the mesh path
+  # free of FFT HLOs (XLA:CPU's fft thunk rejects the non-dim0-major
+  # layouts GSPMD produces under spatial sharding).
   zeros = jnp.zeros_like(g)
   grad_x = _dc_einsum(g, zeros, mask)
-  grad_k0 = fft.pack_complex(fft.fft2(fft.unpack_complex(g)))
+  h, w = g.shape[-3], g.shape[-2]
+  gr, gi = g[..., 0].astype(jnp.float32), g[..., 1].astype(jnp.float32)
+  tr, ti = _dft_axis_split(gr, gi, False, h ** -0.5, last_axis=False)
+  kr, ki = _dft_axis_split(tr, ti, False, w ** -0.5, last_axis=True)
+  grad_k0 = jnp.stack([kr, ki], axis=-1)
   return grad_x, grad_k0, None
 
 

@@ -1,4 +1,21 @@
-"""Device mesh construction and sharding helpers."""
+"""Device mesh construction and sharding helpers.
+
+Rebuilds the role of the reference's single-node ``CustomDataParallel``
+(`/root/reference/utils/__init__.py:113-127`) as GSPMD sharding over a
+`jax.sharding.Mesh`. Two mesh axes are supported:
+
+* ``data`` — batch axis sharding (the reference's only parallelism).
+* ``spatial`` — image-row (H) sharding on top of data parallelism. Pure
+  annotation: GSPMD inserts the halo exchanges for the SAME-padded convs
+  and the collectives for the DC k-space GEMMs (whose H-axis transform is
+  inherently global). This is what lets one logical batch element span
+  several chips — e.g. full-resolution 512² inference at small batch, or
+  images whose activations exceed one chip's HBM.
+
+Parameters and optimizer state are replicated (conv nets: the weight
+footprint is tiny next to activations); batches shard over ``data`` and,
+for image-like leaves, ``spatial``.
+"""
 
 import logging
 
@@ -7,10 +24,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
+SPATIAL_AXIS = 'spatial'
 
 
-def make_mesh(num_devices=None, devices=None, axis_name=DATA_AXIS):
-  """1-D data-parallel mesh over the first ``num_devices`` devices."""
+def make_mesh(num_devices=None, devices=None, axis_name=DATA_AXIS,
+              spatial=1):
+  """Device mesh over the first ``num_devices`` devices.
+
+  ``spatial=1`` (default) gives the 1-D data-parallel mesh; ``spatial=S``
+  folds the device list into a (num_devices // S, S) grid with axes
+  (``data``, ``spatial``).
+  """
   if devices is None:
     devices = jax.devices()
   if num_devices is not None:
@@ -18,31 +42,66 @@ def make_mesh(num_devices=None, devices=None, axis_name=DATA_AXIS):
         'Requested {} devices but only {} available'.format(
             num_devices, len(devices))
     devices = devices[:num_devices]
+  spatial = int(spatial) if spatial else 1
+  if spatial > 1:
+    assert len(devices) % spatial == 0, \
+        'spatial={} does not divide {} devices'.format(spatial,
+                                                       len(devices))
+    grid = np.array(devices).reshape(len(devices) // spatial, spatial)
+    return Mesh(grid, (axis_name, SPATIAL_AXIS))
   return Mesh(np.array(devices), (axis_name,))
 
 
 def mesh_from_conf(conf):
   """Build a mesh from the config's ``mesh`` section, or None.
 
-  ``{"data": -1}`` means all visible devices; ``{"data": N}`` exactly N.
+  ``{"data": -1}`` means all visible devices; ``{"data": N}`` exactly N
+  data-parallel groups. ``{"data": N, "spatial": S}`` uses N*S devices
+  with image rows sharded S-way inside each data-parallel group.
   """
   mesh_conf = conf.get_attr('mesh', default=None)
   if not mesh_conf:
     return None
+  spatial = int(mesh_conf.get(SPATIAL_AXIS, 1) or 1)
   n = mesh_conf.get(DATA_AXIS, -1)
-  n = None if n in (-1, 0) else int(n)
-  mesh = make_mesh(n)
-  logging.info('Using %d-device data-parallel mesh', mesh.size)
+  if n in (-1, 0, None):
+    n = len(jax.devices()) // spatial * spatial
+  else:
+    n = int(n) * spatial
+  mesh = make_mesh(n, spatial=spatial)
+  if spatial > 1:
+    # FFT HLOs cannot be partitioned over image rows on XLA:CPU; the GEMM
+    # DC lowering shards cleanly on every backend.
+    from csmri_refinement_tpu.ops import dc
+    dc.set_spatial_mesh(True)
+    logging.info('Using %dx%d data x spatial device mesh',
+                 mesh.shape[DATA_AXIS], spatial)
+  else:
+    logging.info('Using %d-device data-parallel mesh', mesh.size)
   return mesh
 
 
+def _batch_spec(x, mesh, lead=()):
+  """PartitionSpec for one batch leaf: batch axis over ``data``; the H
+  axis of image-like leaves (ndim >= 3 after the lead axes) additionally
+  over ``spatial``."""
+  lead = tuple(lead)
+  ndim = getattr(x, 'ndim', 0) - len(lead)
+  if SPATIAL_AXIS in mesh.axis_names and ndim >= 3:
+    return P(*lead, DATA_AXIS, SPATIAL_AXIS)
+  if ndim >= 1:
+    return P(*lead, DATA_AXIS)
+  return P(*lead)
+
+
 def shard_batch(batch, mesh):
-  """Place a batch pytree with the leading axis sharded over ``data``."""
+  """Place a batch pytree with the leading axis sharded over ``data`` (and
+  image rows over ``spatial`` on a 2-D mesh)."""
   if mesh is None:
     return batch
-  sharding = NamedSharding(mesh, P(DATA_AXIS))
   return jax.tree_util.tree_map(
-      lambda x: jax.device_put(x, sharding), batch)
+      lambda x: jax.device_put(x, NamedSharding(mesh, _batch_spec(x, mesh))),
+      batch)
 
 
 def shard_stacked_batch(batch, mesh):
@@ -51,9 +110,10 @@ def shard_stacked_batch(batch, mesh):
   throughput mode's input layout."""
   if mesh is None:
     return batch
-  sharding = NamedSharding(mesh, P(None, DATA_AXIS))
   return jax.tree_util.tree_map(
-      lambda x: jax.device_put(x, sharding), batch)
+      lambda x: jax.device_put(
+          x, NamedSharding(mesh, _batch_spec(x, mesh, lead=(None,)))),
+      batch)
 
 
 def replicate(tree, mesh):

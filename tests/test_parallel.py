@@ -124,6 +124,45 @@ def test_make_mesh_and_conf():
   assert m is not None and m.size == N_DEV
 
 
+@pytest.fixture(autouse=True)
+def _reset_spatial_dc_flag():
+  """mesh_from_conf flips the process-global GEMM-DC switch for spatial
+  meshes; keep tests order-independent."""
+  yield
+  from csmri_refinement_tpu.ops import dc
+  dc.set_spatial_mesh(False)
+
+
+def test_make_mesh_spatial_and_conf():
+  """2-D (data x spatial) mesh: shape, axis names, and config wiring."""
+  from csmri_refinement_tpu.parallel import mesh_from_conf
+  mesh = make_mesh(N_DEV, spatial=2)
+  assert mesh.axis_names == ('data', 'spatial')
+  assert mesh.shape['data'] == N_DEV // 2 and mesh.shape['spatial'] == 2
+  m = mesh_from_conf(_std_conf(mesh={'data': N_DEV // 2, 'spatial': 2}))
+  assert m is not None and m.size == N_DEV
+  assert m.shape['spatial'] == 2
+
+
+def test_shard_batch_spatial_spec():
+  """On a 2-D mesh, image-like leaves shard (batch, H); flat leaves shard
+  batch only; params stay replicated."""
+  mesh = make_mesh(N_DEV, spatial=2)
+  batch = {'inp': np.zeros((8, 16, 16, 2), np.float32),
+           'label3d': np.zeros((8, 16, 16), np.float32),
+           'scalar_per_ex': np.zeros((8,), np.float32)}
+  sharded = shard_batch(batch, mesh)
+  assert sharded['inp'].sharding.is_equivalent_to(
+      jax.sharding.NamedSharding(mesh, P('data', 'spatial')), 4)
+  assert sharded['label3d'].sharding.is_equivalent_to(
+      jax.sharding.NamedSharding(mesh, P('data', 'spatial')), 3)
+  assert sharded['scalar_per_ex'].sharding.is_equivalent_to(
+      jax.sharding.NamedSharding(mesh, P('data')), 1)
+  rep = replicate({'w': np.ones((4, 4), np.float32)}, mesh)
+  assert rep['w'].sharding.is_equivalent_to(
+      jax.sharding.NamedSharding(mesh, P()), 2)
+
+
 def test_shard_and_replicate_shardings():
   mesh = make_mesh(N_DEV)
   batch = {'inp': np.zeros((8, 16, 16, 2), np.float32),
@@ -159,6 +198,28 @@ def test_standard_mesh_matches_single_device():
   assert r8.mesh is not None and r8.mesh.size == N_DEV
   assert abs(losses1['loss'].value - losses8['loss'].value) < 1e-5
   assert abs(vloss1['loss_MSE'].value - vloss8['loss_MSE'].value) < 1e-5
+  assert abs(vmet1['psnr'].value - vmet8['psnr'].value) < 1e-3
+  _leaves_allclose(r1.state['params'], r8.state['params'], atol=1e-5)
+
+
+def test_standard_spatial_mesh_matches_single_device():
+  """Training with image rows sharded 2-way on top of 4-way data
+  parallelism (2-D GSPMD mesh incl. halo exchanges for the SAME-padded
+  convs and DC k-space collectives) must match single-device.
+
+  Pin BOTH runs to the GEMM DC lowering (what a spatial mesh forces):
+  this isolates the GSPMD-equivalence claim from the lowering choice —
+  the native-FFT vs GEMM numeric delta is golden-tested elsewhere and
+  would otherwise be amplified past 1e-5 by Adam's per-step
+  normalization."""
+  from csmri_refinement_tpu.ops import dc
+  dc.set_spatial_mesh(True)
+  r1, losses1, vloss1, vmet1 = _run_standard(None, epochs=1)
+  r8, losses8, vloss8, vmet8 = _run_standard(
+      {'data': N_DEV // 2, 'spatial': 2}, epochs=1)
+  assert r8.mesh is not None and r8.mesh.size == N_DEV
+  assert r8.mesh.shape['spatial'] == 2
+  assert abs(losses1['loss'].value - losses8['loss'].value) < 1e-5
   assert abs(vmet1['psnr'].value - vmet8['psnr'].value) < 1e-3
   _leaves_allclose(r1.state['params'], r8.state['params'], atol=1e-5)
 
