@@ -33,7 +33,11 @@ def build_forward(image_size, dtype_str, fused_conv=False):
   quantized = dtype_str == 'int8'
   dtype = jnp.bfloat16 if dtype_str in ('bf16', 'int8') else None
 
-  pretrained = RecNet(num_blocks=3, num_convs=3, num_filters=32, dtype=dtype)
+  # dc_lines_acc=8: the bench batch uses the flagship varden-8x line masks,
+  # so the exact skinny DC lowering applies (ops/dc.py; CSMRI_TPU_DC_SKINNY=0
+  # for A/B against the dense path).
+  pretrained = RecNet(num_blocks=3, num_convs=3, num_filters=32, dtype=dtype,
+                      dc_lines_acc=8)
   learnable = UNET(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
                    encode_filters=[32, 64, 128], decode_filters=[64, 32],
                    kernel_size=4, upsampling_mode='nn-resize-conv',

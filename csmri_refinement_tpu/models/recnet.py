@@ -34,7 +34,7 @@ RECNET_REQUIRED_PARAMS = ['num_blocks', 'num_convs', 'num_filters']
 RECNET_OPTIONAL_PARAMS = [
     'num_final_outputs', 'dilations_per_conv', 'kernel_size',
     'relu_leakiness', 'padding', 'use_refinement', 'skip_final_dc',
-    'return_intermediate_recs', 'use_scan', 'dtype',
+    'return_intermediate_recs', 'use_scan', 'dtype', 'dc_lines_acc',
 ]
 
 DEFAULT_RELU_LEAKINESS = 0.01
@@ -47,6 +47,14 @@ def construct_model(conf, model_name, **kwargs):
   dtype = params.pop('dtype', None)
   if isinstance(dtype, str):
     dtype = jnp.dtype(dtype)
+  if 'dc_lines_acc' not in params:
+    # Runners thread the run's `undersampling` section into the model conf
+    # (training/runner.py); a fixed-count Cartesian line mask enables the
+    # exact skinny DC lowering (ops/dc.py).
+    acc = dc_ops.lines_acc_from_undersampling(
+        conf.get_attr('undersampling', default=None))
+    if acc:
+      params['dc_lines_acc'] = acc
   return RecNet(weight_init=user_init, dtype=dtype, **params)
 
 
@@ -121,8 +129,29 @@ class RecNet(nn.Module):
   use_scan: bool = False
   weight_init: Any = None
   dtype: Any = None
+  #: Static acceleration divisor guaranteeing a fixed-count Cartesian line
+  #: mask (threaded from the `undersampling` config) — enables the exact
+  #: skinny DC lowering (ops/dc.py: ~1/16th the DC GEMM FLOPs).
+  dc_lines_acc: Any = None
+  #: Only consulted when ``dc_lines_acc`` is set: declares that ``inp`` is
+  #: exactly the zero-filled reconstruction ifft2(kspace) — the invariant
+  #: of the shipped data pipeline (training/prep.py, ops/undersample.py:92)
+  #: — letting the skinny DC reuse it instead of recomputing F^-1 k0. Set
+  #: False when feeding inputs that break the invariant.
+  dc_zero_filled_input: bool = True
 
   INPUT_KEYS = ('inp', 'kspace', 'mask')
+
+  def _skinny_ctx(self, inp, kspace, mask):
+    """Sampled-lines DC context, or None when not statically safe."""
+    if not self.dc_lines_acc or not dc_ops.skinny_supported():
+      return None
+    h = kspace.shape[-3]
+    k = dc_ops.skinny_num_lines(h, self.dc_lines_acc)
+    if k <= 0 or k >= h:
+      return None
+    x0 = inp if self.dc_zero_filled_input else None
+    return dc_ops.skinny_dc_context(kspace, mask, k, x0=x0)
 
   def _block_config(self):
     num_filters = self.num_filters
@@ -150,6 +179,7 @@ class RecNet(nn.Module):
       return self._forward_scan(inp, kspace, mask, num_filters[0], dilations)
 
     x = inp
+    skinny_ctx = self._skinny_ctx(inp, kspace, mask)
     reconstructions = []
     for idx in range(self.num_blocks):
       block_input = x
@@ -163,7 +193,8 @@ class RecNet(nn.Module):
       if idx < num_dc_layers:
         # DC is precision-critical: always merge in float32 k-space.
         x = dc_ops.data_consistency(
-            x.astype(jnp.float32), kspace, mask).astype(x.dtype)
+            x.astype(jnp.float32), kspace, mask,
+            skinny_ctx=skinny_ctx).astype(x.dtype)
         if self.return_intermediate_recs:
           reconstructions.append(x)
 
@@ -173,6 +204,7 @@ class RecNet(nn.Module):
 
   def _forward_scan(self, inp, kspace, mask, num_filters, dilations):
     """lax.scan over stacked per-block params — compile time O(1) in depth."""
+    skinny_ctx = self._skinny_ctx(inp, kspace, mask)
 
     class Step(nn.Module):
       outer: RecNet
@@ -189,8 +221,11 @@ class RecNet(nn.Module):
                       dtype=self.outer.dtype, name='block')(x)
         if self.outer.use_refinement:
           y = y + x
+        # skinny_ctx rides as a scan-invariant closure capture (shared
+        # across every cascade's DC, computed once outside the scan).
         y = dc_ops.data_consistency(
-            y.astype(jnp.float32), kspace, mask).astype(y.dtype)
+            y.astype(jnp.float32), kspace, mask,
+            skinny_ctx=skinny_ctx).astype(y.dtype)
         return (y, kspace, mask), ()
 
     scan = nn.scan(Step, variable_axes={'params': 0},

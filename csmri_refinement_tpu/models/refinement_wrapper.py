@@ -52,6 +52,11 @@ def construct_model(conf, model_name, **kwargs):
                                             conf)
   learnable_conf = Configuration.from_dict(params['learnable_model_conf'],
                                            conf)
+  # Thread the undersampling section down to the wrapped models (RecNet
+  # derives the exact skinny-DC lowering from it, models/recnet.py).
+  for sub in (pretrained_conf, learnable_conf):
+    if conf.has_attr('undersampling') and not sub.has_attr('undersampling'):
+      sub.undersampling = conf.undersampling
   pretrained = build_model(pretrained_conf, pretrained_conf.name)
   learnable = build_model(learnable_conf, learnable_conf.name)
 

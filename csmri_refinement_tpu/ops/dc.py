@@ -290,6 +290,123 @@ def _dc_einsum_bwd(mask, g):
 _dc_einsum.defvjp(_dc_einsum_fwd, _dc_einsum_bwd)
 
 
+# --- Skinny (sampled-lines) DC lowering ------------------------------------
+#
+# The flagship undersampling family is a Cartesian *line* mask: mask[b,h,w]
+# == r[b,h] with a FIXED number K of sampled rows (ops/masks.cartesian_mask
+# draws exactly nx//acc lines via Gumbel top-k + guaranteed centre lines).
+# For such masks the dense DC wastes ~94% of its GEMM FLOPs: writing
+#
+#     DC(x) = F^-1((1-m)Fx + k0) = x - F^-1(m Fx) + F^-1 k0
+#
+# the row-selection m = P_S' P_S commutes past the W-axis transform, which
+# cancels against its inverse (F_w F_w^-1 = I):
+#
+#     F^-1(m F x) = F_h^-1[:, S] (F_h[S, :] x)
+#
+# i.e. two *skinny* (K x H / H x K) GEMMs along H only — K/H of ONE axis
+# transform each, vs 4 full axis transforms for the dense DC. F^-1 k0 is
+# x-independent (k0 is supported on the sampled rows only,
+# ops/undersample.py:45) and is computed once per forward pass and shared
+# across all of a cascade's DC layers. The algebra is exact — same ortho
+# DFT constants, same pinned 'high' precision — so this is a lossless
+# lowering, gated on the config guaranteeing the fixed-count line
+# structure (models/recnet.py threads `dc_lines_acc` from the
+# `undersampling` section). CSMRI_TPU_DC_SKINNY=0 disables.
+_SKINNY_MODE = os.environ.get('CSMRI_TPU_DC_SKINNY', 'auto')
+
+
+def skinny_supported():
+  """Skinny DC gate: on unless CSMRI_TPU_DC_SKINNY=0."""
+  return _SKINNY_MODE != '0'
+
+
+def lines_acc_from_undersampling(us):
+  """Static acceleration divisor when the undersampling config guarantees
+  a fixed-count Cartesian line mask; None otherwise (radial masks are not
+  line-structured, variable acceleration has a per-example line count)."""
+  if not us:
+    return None
+  if us.get('sampling_scheme', 'varden') not in ('varden', 'cartesian'):
+    return None
+  if us.get('variable_acceleration', False):
+    return None
+  return float(us.get('acceleration_factor', 8))
+
+
+def skinny_num_lines(h, acc, sample_n=None):
+  """Exact sampled-line count of ops/masks.cartesian_mask: nx//acc pdf +
+  centre lines, floored at the ``sample_n`` guaranteed centre lines."""
+  if sample_n is None:
+    from csmri_refinement_tpu.ops import masks as mask_ops
+    sample_n = mask_ops.CARTESIAN_CENTRAL_LINES
+  return max(int(h // float(acc)), int(sample_n))
+
+
+def _skinny_synth(gr, gi, tr, ti):
+  """u = F_h^-1[:, S] t with F^-1 = conj(F) (symmetric unitary ortho DFT):
+  u[h] = sum_j conj(G[j, h]) t[j] for the gathered rows G = F[S, :]."""
+  mm = lambda g, t: jnp.einsum('bkh,bkw->bhw', g, t, precision='high')
+  return (mm(gr, tr) + mm(gi, ti), mm(gr, ti) - mm(gi, tr))
+
+
+def skinny_dc_context(k0, mask, num_lines, x0=None):
+  """Per-example sampled-row context for the skinny DC, computed once per
+  forward pass and shared across a cascade's DC layers.
+
+  Parameters
+  ----------
+  k0 : (B, H, W, 2) float — sampled k-space (zero off the sampled lines)
+  mask : (B, H, W, 1+) float line mask (mask[b,h,w] == r[b,h])
+  num_lines : static int — EXACT number of sampled rows per example
+  x0 : optional (B, H, W, 2) float — the zero-filled reconstruction
+    ifft2(k0), when the caller already has it (the shipped pipeline's
+    ``inp`` IS ifft2(kspace), ops/undersample.py:92); skips recomputing it
+
+  Returns
+  -------
+  (gr, gi, x0): gathered forward-DFT rows F_h[S, :] as (B, K, H) real/imag
+  pairs, and the zero-filled reconstruction x0 = ifft2(k0) as (B, H, W, 2).
+  """
+  h, w = k0.shape[-3], k0.shape[-2]
+  rows = jnp.max(mask[..., 0], axis=-1)                # (B, H) line indicator
+  _, idx = jax.lax.top_k(rows, num_lines)              # (B, K) sampled rows
+  fr, fi = _split_mats(h, False, h ** -0.5)
+  gr = jnp.take(fr, idx, axis=0)                       # (B, K, H)
+  gi = jnp.take(fi, idx, axis=0)
+  if x0 is not None:
+    return gr, gi, x0.astype(jnp.float32)
+  # x0 = F_h^-1[:, S] (k0[S, :] @ F_w^-1): W-side inverse on the K-row
+  # slab (K/H of a full axis transform), then the skinny H-side synthesis.
+  k0r = jnp.take_along_axis(k0[..., 0].astype(jnp.float32),
+                            idx[..., None], axis=-2)   # (B, K, W)
+  k0i = jnp.take_along_axis(k0[..., 1].astype(jnp.float32),
+                            idx[..., None], axis=-2)
+  fwr, fwi = _split_mats(w, False, w ** -0.5)
+  mm = lambda a, c: jnp.einsum('bkv,vw->bkw', a, c, precision='high')
+  sr = mm(k0r, fwr) + mm(k0i, fwi)                     # k0[S, :] @ conj(F_w)
+  si = mm(k0i, fwr) - mm(k0r, fwi)
+  x0r, x0i = _skinny_synth(gr, gi, sr, si)
+  return gr, gi, jnp.stack([x0r, x0i], axis=-1)
+
+
+def _dc_skinny(x, ctx):
+  """DC(x) = x - F_h^-1[:, S] F_h[S, :] x + x0 — two skinny GEMMs along H.
+
+  Pure einsums: JAX autodiff yields the transposed skinny einsums (the
+  x-Jacobian I - A_S is Hermitian, A_S an orthogonal projection), so no
+  custom VJP is needed for efficiency, and the pinned precision carries
+  into the backward pass."""
+  gr, gi, x0 = ctx
+  xr = x[..., 0].astype(jnp.float32)
+  xi = x[..., 1].astype(jnp.float32)
+  mm = lambda g, a: jnp.einsum('bkh,bhw->bkw', g, a, precision='high')
+  tr = mm(gr, xr) - mm(gi, xi)                         # F_h[S, :] x
+  ti = mm(gr, xi) + mm(gi, xr)
+  ur, ui = _skinny_synth(gr, gi, tr, ti)               # F_h^-1[:, S] t
+  return jnp.stack([xr - ur + x0[..., 0], xi - ui + x0[..., 1]], axis=-1)
+
+
 def kspace_merge_reference(k, k0, mask, noise_lvl=None):
   """Merge predicted k-space with sampled lines (myfft.py:131-142)."""
   if noise_lvl:
@@ -297,7 +414,7 @@ def kspace_merge_reference(k, k0, mask, noise_lvl=None):
   return (1 - mask) * k + k0
 
 
-def data_consistency(x, k0, mask, noise_lvl=None):
+def data_consistency(x, k0, mask, noise_lvl=None, skinny_ctx=None):
   """Data-consistency step on packed arrays.
 
   Parameters
@@ -305,11 +422,16 @@ def data_consistency(x, k0, mask, noise_lvl=None):
   x : (B, H, W, 2) float — current image estimate (real/imag channels)
   k0 : (B, H, W, 2) float — originally sampled k-space
   mask : (B, H, W, 1) or (B, H, W, 2) float — 1 where k-space was sampled
+  skinny_ctx : optional result of :func:`skinny_dc_context` — exact
+    sampled-lines lowering for fixed-count Cartesian line masks (~1/16th
+    the GEMM FLOPs; the caller owns the line-structure guarantee)
 
   Returns
   -------
   (B, H, W, 2) float image with sampled k-space lines restored.
   """
+  if skinny_ctx is not None and noise_lvl is None:
+    return _dc_skinny(x, skinny_ctx)
   mode = _gemm_mode(x.shape[-3], x.shape[-2], noise_lvl)
   if mode == 'einsum':
     return _dc_einsum(x, k0.astype(jnp.float32), mask)

@@ -75,6 +75,11 @@ class AdversarialRunner(BaseRunner):
   def __init__(self, conf, mode='train'):
     super().__init__(conf, mode)
     self.gen_model_conf = Configuration.from_dict(conf.generator_model, conf)
+    # Thread the run's undersampling section into the generator conf:
+    # RecNet derives the exact skinny-DC lowering from it (models/recnet.py).
+    if conf.has_attr('undersampling') and \
+        not self.gen_model_conf.has_attr('undersampling'):
+      self.gen_model_conf.undersampling = conf.undersampling
     self.gen = construct_model(self.gen_model_conf, self.gen_model_conf.name)
     self.gen_input_keys = get_input_keys(self.gen)
     self.gen_has_train_arg = getattr(self.gen, 'HAS_TRAIN_ARG', False)

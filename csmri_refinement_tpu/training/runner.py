@@ -44,6 +44,11 @@ class Runner(BaseRunner):
   def __init__(self, conf, mode='train'):
     super().__init__(conf, mode)
     model_conf = Configuration.from_dict(conf.model, conf)
+    # Thread the run's undersampling section into the model conf: RecNet
+    # derives the exact skinny-DC lowering from it (models/recnet.py).
+    if conf.has_attr('undersampling') and \
+        not model_conf.has_attr('undersampling'):
+      model_conf.undersampling = conf.undersampling
     self.model_conf = model_conf
     self.model = construct_model(model_conf, model_conf.name)
     self.input_keys = get_input_keys(self.model)

@@ -81,6 +81,35 @@ def dc_probe():
                  args=(k0s, ms)))
 
 
+def dc_skinny_probe():
+  """Dense vs skinny (sampled-lines) DC at the flagship mask (varden 8x)."""
+  from csmri_refinement_tpu.ops import dc as dc_ops
+  from csmri_refinement_tpu.ops import undersample as us_ops
+
+  @functools.partial(jax.jit, static_argnums=(0, 1))
+  def make(b, s):
+    key = jax.random.PRNGKey(1)
+    gt = jax.random.uniform(key, (b, s, s))
+    batch = us_ops.undersample_batch(key, gt, 'varden', 8)
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, s, s, 2), jnp.float32)
+    return x, batch['kspace'], batch['mask']
+
+  for b, s in ((BATCH, 256), (BATCH, 512), (32, 512)):
+    x, k0, m = make(b, s)
+    klines = dc_ops.skinny_num_lines(s, 8)
+    ctx = jax.jit(lambda k, mm: dc_ops.skinny_dc_context(k, mm, klines))(
+        k0, m)
+    report('DC dense B{} @{}'.format(b, s),
+           timed(lambda v, k, mm: dc_ops.data_consistency(v, k, mm), x,
+                 args=(k0, m)))
+    report('DC skinny B{} @{} (K={})'.format(b, s, klines),
+           timed(lambda v, gr, gi, x0: dc_ops._dc_skinny(v, (gr, gi, x0)),
+                 x, args=ctx))
+    report('DC skinny ctx-build B{} @{}'.format(b, s),
+           timed(lambda k, mm: dc_ops.skinny_dc_context(k, mm, klines)[2],
+                 k0, args=(m,)))
+
+
 def model_probes(size=SIZE, batch=BATCH):
   from csmri_refinement_tpu.models.recnet import RecNet
   from csmri_refinement_tpu.models.unet import UNET
@@ -122,6 +151,8 @@ def main(argv):
     conv_probes()
   if 'dc' in probes:
     dc_probe()
+  if 'dcskinny' in probes:
+    dc_skinny_probe()
   if 'model' in probes:
     model_probes()
   if 's2d' in probes:

@@ -259,6 +259,101 @@ def test_dc_gradient_masks_sampled_lines():
   np.testing.assert_allclose(np.asarray(grad), 0.0, atol=1e-6)
 
 
+def _line_mask_batch(key, b=3, h=64, w=48, acc=8):
+  """Realistic flagship batch: varden line masks + undersampled k-space."""
+  gt = jax.random.uniform(jax.random.PRNGKey(11), (b, h, w))
+  return us_ops.undersample_batch(key, gt, 'varden', acc)
+
+
+def test_skinny_dc_matches_dense(rng):
+  """The sampled-lines DC lowering is exact for Cartesian line masks:
+  matches the dense DC and the numpy reference to fp noise."""
+  batch = _line_mask_batch(jax.random.PRNGKey(3))
+  k0, mask = batch['kspace'], batch['mask']
+  k = dc_ops.skinny_num_lines(64, 8)
+  # masks carry exactly K lines (Gumbel top-k + guaranteed centre lines)
+  counts = np.asarray(jnp.max(mask[..., 0], -1).sum(-1))
+  np.testing.assert_array_equal(counts, k)
+
+  x = jnp.asarray(rng.randn(3, 64, 48, 2).astype(np.float32))
+  ctx = dc_ops.skinny_dc_context(k0, mask, k)
+  got = np.asarray(dc_ops.data_consistency(x, k0, mask, skinny_ctx=ctx))
+  dense = np.asarray(dc_ops.data_consistency(x, k0, mask))
+  np.testing.assert_allclose(got, dense, atol=1e-5)
+
+  want = dc_ops.data_consistency_np(
+      np.asarray(x[..., 0] + 1j * x[..., 1]),
+      np.asarray(k0[..., 0] + 1j * k0[..., 1]), np.asarray(mask[..., 0]))
+  np.testing.assert_allclose(got[..., 0], want.real, atol=1e-4)
+  np.testing.assert_allclose(got[..., 1], want.imag, atol=1e-4)
+
+
+def test_skinny_dc_x0_override_and_projection(rng):
+  """x0 override (the pipeline's inp == ifft2(kspace) invariant) matches
+  the self-computed x0, and DC is a projection: DC(x0) == x0."""
+  batch = _line_mask_batch(jax.random.PRNGKey(4))
+  k0, mask, inp = batch['kspace'], batch['mask'], batch['inp']
+  k = dc_ops.skinny_num_lines(64, 8)
+
+  ctx_self = dc_ops.skinny_dc_context(k0, mask, k)
+  ctx_inp = dc_ops.skinny_dc_context(k0, mask, k, x0=inp)
+  np.testing.assert_allclose(np.asarray(ctx_self[2]), np.asarray(inp),
+                             atol=1e-5)
+
+  x = jnp.asarray(rng.randn(3, 64, 48, 2).astype(np.float32))
+  np.testing.assert_allclose(
+      np.asarray(dc_ops._dc_skinny(x, ctx_self)),
+      np.asarray(dc_ops._dc_skinny(x, ctx_inp)), atol=1e-5)
+  # projection invariant
+  np.testing.assert_allclose(np.asarray(dc_ops._dc_skinny(ctx_self[2],
+                                                          ctx_self)),
+                             np.asarray(ctx_self[2]), atol=1e-5)
+
+
+def test_skinny_dc_gradients_match_dense(rng):
+  """VJPs of the skinny lowering equal the dense DC's custom VJP (the
+  x-Jacobian I - A_S is Hermitian; autodiff of the skinny einsums keeps
+  the same structure)."""
+  batch = _line_mask_batch(jax.random.PRNGKey(5))
+  k0, mask = batch['kspace'], batch['mask']
+  k = dc_ops.skinny_num_lines(64, 8)
+  ctx = dc_ops.skinny_dc_context(k0, mask, k)
+  x = jnp.asarray(rng.randn(3, 64, 48, 2).astype(np.float32))
+  ct = jnp.asarray(rng.randn(3, 64, 48, 2).astype(np.float32))
+
+  g_dense = jax.vjp(lambda v: dc_ops.data_consistency(v, k0, mask), x)[1](
+      ct)[0]
+  g_skinny = jax.vjp(lambda v: dc_ops._dc_skinny(v, ctx), x)[1](ct)[0]
+  np.testing.assert_allclose(np.asarray(g_skinny), np.asarray(g_dense),
+                             atol=1e-5)
+
+  def loss(x_):
+    return jnp.sum(dc_ops._dc_skinny(x_, ctx) ** 2)
+  check_grads(loss, (x,), order=1, modes=['rev'], atol=1e-2, rtol=1e-2)
+
+
+def test_skinny_num_lines_matches_generator():
+  """skinny_num_lines reproduces cartesian_mask's exact line count,
+  including the centre-lines floor at small sizes."""
+  for h, acc in ((512, 8), (256, 8), (64, 8), (32, 8), (16, 8), (64, 4)):
+    mask = mask_ops.cartesian_mask(jax.random.PRNGKey(0), (4, h, h),
+                                   float(acc))
+    counts = np.asarray(jnp.max(mask, -1).sum(-1))
+    np.testing.assert_array_equal(counts, dc_ops.skinny_num_lines(h, acc))
+
+
+def test_lines_acc_from_undersampling():
+  assert dc_ops.lines_acc_from_undersampling(None) is None
+  assert dc_ops.lines_acc_from_undersampling(
+      {'sampling_scheme': 'radial', 'acceleration_factor': 8}) is None
+  assert dc_ops.lines_acc_from_undersampling(
+      {'sampling_scheme': 'varden', 'variable_acceleration': True}) is None
+  assert dc_ops.lines_acc_from_undersampling(
+      {'sampling_scheme': 'varden', 'acceleration_factor': 8}) == 8.0
+  assert dc_ops.lines_acc_from_undersampling(
+      {'acceleration_factor': 4}) == 4.0  # varden is the default scheme
+
+
 def test_var_dens_mask_2d():
   mask = mask_ops.var_dens_mask_2d((2, 32, 32), ivar=0.01,
                                    rng=np.random.RandomState(0))

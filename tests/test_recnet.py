@@ -77,6 +77,61 @@ def test_recnet_construct_from_config():
   assert model.INPUT_KEYS == ('inp', 'kspace', 'mask')
 
 
+def test_recnet_skinny_dc_matches_dense():
+  """dc_lines_acc (the exact skinny DC lowering) changes no numerics:
+  forward and parameter gradients match the dense path, in both the
+  unrolled and scan cascades, with and without the x0-from-input reuse."""
+  batch = _batch(jax.random.PRNGKey(0))  # varden acc=2 line masks
+  args = (batch['inp'], batch['kspace'], batch['mask'])
+  for use_scan in (False, True):
+    plain = RecNet(num_blocks=2, num_convs=2, num_filters=4,
+                   use_scan=use_scan)
+    skinny = RecNet(num_blocks=2, num_convs=2, num_filters=4,
+                    use_scan=use_scan, dc_lines_acc=2)
+    skinny_x0 = RecNet(num_blocks=2, num_convs=2, num_filters=4,
+                       use_scan=use_scan, dc_lines_acc=2,
+                       dc_zero_filled_input=False)
+    v = plain.init(jax.random.PRNGKey(1), *args)
+    out = plain.apply(v, *args)
+    np.testing.assert_allclose(np.asarray(skinny.apply(v, *args)),
+                               np.asarray(out), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(skinny_x0.apply(v, *args)),
+                               np.asarray(out), atol=1e-5)
+
+    def loss(model):
+      return lambda p: jnp.sum(
+          (model.apply(p, *args) - batch['target']) ** 2)
+    g_plain = jax.tree_util.tree_leaves(jax.grad(loss(plain))(v))
+    g_skinny = jax.tree_util.tree_leaves(jax.grad(loss(skinny))(v))
+    for a, b in zip(g_plain, g_skinny):
+      np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_recnet_construct_threads_undersampling_to_skinny_dc():
+  """construct_model derives dc_lines_acc from a threaded `undersampling`
+  section (fixed-count Cartesian masks only)."""
+  base = {'name': 'RecNet', 'num_blocks': 2, 'num_convs': 2,
+          'num_filters': 4}
+  conf = Configuration.from_dict(dict(
+      base, undersampling={'sampling_scheme': 'varden',
+                           'acceleration_factor': 8,
+                           'variable_acceleration': False}))
+  assert construct_model(conf, 'RecNet').dc_lines_acc == 8.0
+  # radial / variable-acceleration masks must NOT enable the skinny path
+  conf = Configuration.from_dict(dict(
+      base, undersampling={'sampling_scheme': 'radial',
+                           'acceleration_factor': 8}))
+  assert construct_model(conf, 'RecNet').dc_lines_acc is None
+  conf = Configuration.from_dict(dict(
+      base, undersampling={'sampling_scheme': 'varden',
+                           'acceleration_factor': 8,
+                           'variable_acceleration': True}))
+  assert construct_model(conf, 'RecNet').dc_lines_acc is None
+  # explicit model-level override wins
+  conf = Configuration.from_dict(dict(base, dc_lines_acc=4))
+  assert construct_model(conf, 'RecNet').dc_lines_acc == 4
+
+
 def test_recnet_param_count_matches_reference_formula():
   """3 blocks × (2→32 conv + 32→32 conv + 32→2 conv), k=3, with biases.
 
