@@ -343,11 +343,21 @@ def skinny_num_lines(h, acc, sample_n=None):
   return max(int(h // float(acc)), int(sample_n))
 
 
-def _skinny_synth(gr, gi, tr, ti):
+def _skinny_synth(g_cat, tr, ti):
   """u = F_h^-1[:, S] t with F^-1 = conj(F) (symmetric unitary ortho DFT):
-  u[h] = sum_j conj(G[j, h]) t[j] for the gathered rows G = F[S, :]."""
+  u[h] = sum_j conj(G[j, h]) t[j] for the gathered rows G = F[S, :].
+
+  ``g_cat`` is the (B, 2K, H) [Gr; Gi] stack: packing re/im along the
+  contraction axis doubles it to 2K (full 128-lane MXU util at the
+  flagship K=64 — measured 3.16→2.23 ms per DC at B128@512², NOTES r3)
+  and the complex combine folds into the operand stacking:
+  u_re = [Gr; Gi]·[tr; ti], u_im = [Gr; Gi]·[ti; -tr]. The concats touch
+  only (B, 2K, W) slabs — full-plane (B, H, W) relayouts are the measured
+  loser on this chip (NOTES rounds 2-3)."""
+  t_rt = jnp.concatenate([tr, ti], axis=1)
+  t_ir = jnp.concatenate([ti, -tr], axis=1)
   mm = lambda g, t: jnp.einsum('bkh,bkw->bhw', g, t, precision='high')
-  return (mm(gr, tr) + mm(gi, ti), mm(gr, ti) - mm(gi, tr))
+  return mm(g_cat, t_rt), mm(g_cat, t_ir)
 
 
 def skinny_dc_context(k0, mask, num_lines, x0=None):
@@ -365,17 +375,18 @@ def skinny_dc_context(k0, mask, num_lines, x0=None):
 
   Returns
   -------
-  (gr, gi, x0): gathered forward-DFT rows F_h[S, :] as (B, K, H) real/imag
-  pairs, and the zero-filled reconstruction x0 = ifft2(k0) as (B, H, W, 2).
+  (g_cat, x0): gathered forward-DFT rows [Re F_h[S, :]; Im F_h[S, :]]
+  stacked as (B, 2K, H), and the zero-filled reconstruction x0 = ifft2(k0)
+  as (B, H, W, 2).
   """
   h, w = k0.shape[-3], k0.shape[-2]
   rows = jnp.max(mask[..., 0], axis=-1)                # (B, H) line indicator
   _, idx = jax.lax.top_k(rows, num_lines)              # (B, K) sampled rows
   fr, fi = _split_mats(h, False, h ** -0.5)
-  gr = jnp.take(fr, idx, axis=0)                       # (B, K, H)
-  gi = jnp.take(fi, idx, axis=0)
+  g_cat = jnp.concatenate([jnp.take(fr, idx, axis=0),
+                           jnp.take(fi, idx, axis=0)], axis=1)  # (B, 2K, H)
   if x0 is not None:
-    return gr, gi, x0.astype(jnp.float32)
+    return g_cat, x0.astype(jnp.float32)
   # x0 = F_h^-1[:, S] (k0[S, :] @ F_w^-1): W-side inverse on the K-row
   # slab (K/H of a full axis transform), then the skinny H-side synthesis.
   k0r = jnp.take_along_axis(k0[..., 0].astype(jnp.float32),
@@ -386,24 +397,30 @@ def skinny_dc_context(k0, mask, num_lines, x0=None):
   mm = lambda a, c: jnp.einsum('bkv,vw->bkw', a, c, precision='high')
   sr = mm(k0r, fwr) + mm(k0i, fwi)                     # k0[S, :] @ conj(F_w)
   si = mm(k0i, fwr) - mm(k0r, fwi)
-  x0r, x0i = _skinny_synth(gr, gi, sr, si)
-  return gr, gi, jnp.stack([x0r, x0i], axis=-1)
+  x0r, x0i = _skinny_synth(g_cat, sr, si)
+  return g_cat, jnp.stack([x0r, x0i], axis=-1)
 
 
 def _dc_skinny(x, ctx):
-  """DC(x) = x - F_h^-1[:, S] F_h[S, :] x + x0 — two skinny GEMMs along H.
+  """DC(x) = x - F_h^-1[:, S] F_h[S, :] x + x0 — four skinny GEMMs along
+  H, each with the re/im pair packed to 2K rows/lanes for full MXU util
+  (see _skinny_synth; the analysis side packs the OUTPUT rows instead:
+  [Gr; Gi]·xr = [Gr xr; Gi xr], so both analysis GEMMs run at M=2K).
 
   Pure einsums: JAX autodiff yields the transposed skinny einsums (the
   x-Jacobian I - A_S is Hermitian, A_S an orthogonal projection), so no
   custom VJP is needed for efficiency, and the pinned precision carries
   into the backward pass."""
-  gr, gi, x0 = ctx
+  g_cat, x0 = ctx
+  k = g_cat.shape[1] // 2
   xr = x[..., 0].astype(jnp.float32)
   xi = x[..., 1].astype(jnp.float32)
   mm = lambda g, a: jnp.einsum('bkh,bhw->bkw', g, a, precision='high')
-  tr = mm(gr, xr) - mm(gi, xi)                         # F_h[S, :] x
-  ti = mm(gr, xi) + mm(gi, xr)
-  ur, ui = _skinny_synth(gr, gi, tr, ti)               # F_h^-1[:, S] t
+  a = mm(g_cat, xr)                                    # [Gr xr; Gi xr]
+  b = mm(g_cat, xi)                                    # [Gr xi; Gi xi]
+  tr = a[:, :k] - b[:, k:]                             # F_h[S, :] x (re)
+  ti = b[:, :k] + a[:, k:]                             # F_h[S, :] x (im)
+  ur, ui = _skinny_synth(g_cat, tr, ti)                # F_h^-1[:, S] t
   return jnp.stack([xr - ur + x0[..., 0], xi - ui + x0[..., 1]], axis=-1)
 
 

@@ -103,10 +103,10 @@ def dc_skinny_probe():
            timed(lambda v, k, mm: dc_ops.data_consistency(v, k, mm), x,
                  args=(k0, m)))
     report('DC skinny B{} @{} (K={})'.format(b, s, klines),
-           timed(lambda v, gr, gi, x0: dc_ops._dc_skinny(v, (gr, gi, x0)),
+           timed(lambda v, g, x0: dc_ops._dc_skinny(v, (g, x0)),
                  x, args=ctx))
     report('DC skinny ctx-build B{} @{}'.format(b, s),
-           timed(lambda k, mm: dc_ops.skinny_dc_context(k, mm, klines)[2],
+           timed(lambda k, mm: dc_ops.skinny_dc_context(k, mm, klines)[1],
                  k0, args=(m,)))
 
 

@@ -297,7 +297,7 @@ def test_skinny_dc_x0_override_and_projection(rng):
 
   ctx_self = dc_ops.skinny_dc_context(k0, mask, k)
   ctx_inp = dc_ops.skinny_dc_context(k0, mask, k, x0=inp)
-  np.testing.assert_allclose(np.asarray(ctx_self[2]), np.asarray(inp),
+  np.testing.assert_allclose(np.asarray(ctx_self[1]), np.asarray(inp),
                              atol=1e-5)
 
   x = jnp.asarray(rng.randn(3, 64, 48, 2).astype(np.float32))
@@ -305,9 +305,9 @@ def test_skinny_dc_x0_override_and_projection(rng):
       np.asarray(dc_ops._dc_skinny(x, ctx_self)),
       np.asarray(dc_ops._dc_skinny(x, ctx_inp)), atol=1e-5)
   # projection invariant
-  np.testing.assert_allclose(np.asarray(dc_ops._dc_skinny(ctx_self[2],
+  np.testing.assert_allclose(np.asarray(dc_ops._dc_skinny(ctx_self[1],
                                                           ctx_self)),
-                             np.asarray(ctx_self[2]), atol=1e-5)
+                             np.asarray(ctx_self[1]), atol=1e-5)
 
 
 def test_skinny_dc_gradients_match_dense(rng):
