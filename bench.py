@@ -90,7 +90,12 @@ def run_bench(batch_size, image_size, iters, warmup, dtype_str,
   # scalar reduce fetched to host. This is robust against the tunneled TPU
   # backend's lazy dispatch: block_until_ready alone does not guarantee
   # execution there, and independent unfetched dispatches could be elided.
-  @functools.partial(jax.jit, static_argnames='n')
+  # Serving compiler options: measured scoped-VMEM fusion-budget optimum
+  # (+6.3% at 256^2, +3.8% at 512^2 — utils/compile_opts.py, NOTES round 3).
+  from csmri_refinement_tpu.utils.compile_opts import serving_compiler_options
+
+  @functools.partial(jax.jit, static_argnames='n',
+                     compiler_options=serving_compiler_options(image_size))
   def bench_loop(variables, inp, kspace, mask, n):
     def body(x, _):
       pred = forward(variables, x, kspace, mask)
@@ -242,6 +247,10 @@ def main(argv):
   parser.add_argument('--train', action='store_true',
                       help='also bench GAN training throughput (paper '
                            'batch 5; stderr row)')
+  parser.add_argument('--latency', action='store_true',
+                      help='also bench batch-1 serving latency (the '
+                           'reference validates at batch 1) at the main '
+                           'and extra sizes; stderr rows')
   parser.add_argument('--train-steps', type=int, default=8)
   parser.add_argument('--fused-conv', action='store_true',
                       help='route eval U-Net conv chains through the fused '
@@ -307,6 +316,22 @@ def main(argv):
   extra_sizes = args.extra_sizes
   if extra_sizes is None:
     extra_sizes = [512] if args.image_size != 512 else []
+
+  if args.latency:
+    # Batch-1 single-slice serving latency (the reference's validate.py
+    # pins batch 1). Uses more iters: per-call work is ~100x smaller.
+    for size in [args.image_size] + list(extra_sizes):
+      try:
+        rate = run_bench(1, size, max(args.iters * 5, 30), args.warmup,
+                         dtype)
+        row = {'metric': '{s}x{s} recon batch-1 serving latency '
+                         '({d} compute)'.format(s=size, d=dtype),
+               'value': round(1e3 / rate, 2), 'unit': 'ms/slice'}
+      except Exception as e:
+        row = {'metric': '{s}x{s} recon batch-1 serving latency'
+                         .format(s=size), 'error': type(e).__name__}
+      sys.stderr.write(json.dumps(row) + '\n')
+      sys.stderr.flush()
   for size in extra_sizes:
     try:
       extra = run_bench(max(args.batch_size, 8), size, args.iters,

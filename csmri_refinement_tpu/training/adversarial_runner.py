@@ -40,6 +40,7 @@ from csmri_refinement_tpu.metrics import get_loss_metric, get_metric_fn
 from csmri_refinement_tpu.models import construct_model, get_input_keys
 from csmri_refinement_tpu.models.criteria import get_criterion
 from csmri_refinement_tpu.training import image_pool
+from csmri_refinement_tpu.utils.compile_opts import serving_jit
 from csmri_refinement_tpu.training.adversarial_training import (
     get_discriminator_input_fn)
 from csmri_refinement_tpu.training.base_runner import BaseRunner
@@ -196,7 +197,7 @@ class AdversarialRunner(BaseRunner):
       # eval fidelity: see runner._make_val_step (bf16x3 for f32 models)
       with jax.default_matmul_precision('high'):
         return self._val_step_impl(gen_state, disc_state, batch)
-    self._val_step_fn = jax.jit(_val_step_hp)
+    self._val_step_fn = serving_jit(_val_step_hp)
 
   # -- model application helpers ------------------------------------------------
 
@@ -685,7 +686,7 @@ class AdversarialRunner(BaseRunner):
           return self._apply_net(
               self.gen, state['params'], state['batch_stats'],
               self._gen_inputs(b), False, None, self.gen_has_train_arg)[0]
-      self._predict_fn = jax.jit(_predict)
+      self._predict_fn = serving_jit(_predict)
     return self._predict_fn(self.gen_state, batch)
 
   def get_named_outputs(self, data):

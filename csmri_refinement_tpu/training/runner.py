@@ -20,6 +20,7 @@ from csmri_refinement_tpu.data.transform_wrappers import (
     get_input_batch_transform, get_output_transform)
 from csmri_refinement_tpu.metrics import get_loss_metric, get_metric_fn
 from csmri_refinement_tpu.models import construct_model, get_input_keys
+from csmri_refinement_tpu.utils.compile_opts import serving_jit
 from csmri_refinement_tpu.training.base_runner import BaseRunner
 from csmri_refinement_tpu.training.lr_schedulers import get_lr_scheduler
 from csmri_refinement_tpu.training.optimizers import (get_optimizer,
@@ -203,7 +204,7 @@ class Runner(BaseRunner):
   def _make_val_step(self):
     criteria = self.criteria
 
-    @jax.jit
+    @serving_jit
     def step(state, batch):
       # Evaluation fidelity: TPU's default matmul/conv precision is a
       # single bf16 pass even for f32 models — measured up to 0.065 SSIM
@@ -267,7 +268,7 @@ class Runner(BaseRunner):
         with jax.default_matmul_precision('high'):  # see _make_val_step
           return self._apply_model(state['params'], state['batch_stats'],
                                    b, False, None)[0]
-      self._predict_fn = jax.jit(_predict)
+      self._predict_fn = serving_jit(_predict)
     return self._predict_fn(self.state, batch)
 
   # -- bookkeeping ---------------------------------------------------------------

@@ -1,0 +1,59 @@
+"""Measured XLA compiler options for the TPU serving/eval path.
+
+No reference analogue (the reference has no compiler-tuning layer); this is
+TPU-specific tuning with no semantic effect — `xla_tpu_scoped_vmem_limit_kib`
+only changes how much VMEM XLA's fusion passes may budget per fused
+computation, which controls conv fusion depth on the flagship's
+traffic-bound C32/C64 U-Net layers.
+
+Sweep evidence (scripts/probe_xla_flags.py on the v5e, NOTES round 3):
+
+    256^2 B128: baseline 2359 -> 40 MiB 2507 slices/s (+6.3%)
+    512^2 B128: baseline  566 -> 64 MiB  587 slices/s (+3.8%)
+
+Both optima sit well above the backend default; past them the deeper
+fusions spill. Override / disable with CSMRI_TPU_SCOPED_VMEM_KIB
+(set to 0 to disable).
+"""
+
+import os
+
+# Measured optima (KiB). 256^2 peaks at 40 MiB, 512^2 at 64 MiB; the
+# helper picks by image size when the caller knows it.
+_DEFAULT_KIB = 40960
+_LARGE_IMAGE_KIB = 65536
+
+
+def serving_compiler_options(image_size=None):
+  """Per-jit `compiler_options` dict for eval/serving entry points.
+
+  Returns None (no override) off-TPU or when disabled via
+  CSMRI_TPU_SCOPED_VMEM_KIB=0.
+  """
+  import jax
+  try:
+    if jax.default_backend() != 'tpu':
+      return None
+  except Exception:  # backend init failure: never block the caller
+    return None
+  env = os.environ.get('CSMRI_TPU_SCOPED_VMEM_KIB')
+  if env is not None:
+    if env.strip() in ('', '0'):
+      return None
+    return {'xla_tpu_scoped_vmem_limit_kib': env.strip()}
+  kib = _LARGE_IMAGE_KIB if (image_size or 0) >= 512 else _DEFAULT_KIB
+  return {'xla_tpu_scoped_vmem_limit_kib': str(kib)}
+
+
+def serving_jit(fn=None, *, image_size=None, **jit_kwargs):
+  """`jax.jit` with the measured serving compiler options applied.
+
+  Usable as a decorator or a wrapper; extra kwargs pass through to jit.
+  """
+  import functools
+  import jax
+  if fn is None:
+    return functools.partial(serving_jit, image_size=image_size,
+                             **jit_kwargs)
+  return jax.jit(fn, compiler_options=serving_compiler_options(image_size),
+                 **jit_kwargs)

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Probe XLA/TPU compiler options on the flagship forward pass.
+
+Sweeps per-jit `compiler_options` (which propagate through the tunneled
+PJRT plugin, unlike XLA_FLAGS on some relays) over the flagship bench
+loop and reports slices/s per option set. Semantics-free lever hunt:
+scoped-VMEM budget controls XLA's fusion depth for the conv-heavy
+U-Net; everything else in the sweep is a known-real TPU toggle.
+
+Usage: python scripts/probe_xla_flags.py [--image-size 256] [--batch 128]
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+SWEEP = [
+    ('baseline', {}),
+    ('scoped_vmem_24m', {'xla_tpu_scoped_vmem_limit_kib': '24576'}),
+    ('scoped_vmem_32m', {'xla_tpu_scoped_vmem_limit_kib': '32768'}),
+    ('scoped_vmem_40m', {'xla_tpu_scoped_vmem_limit_kib': '40960'}),
+    ('scoped_vmem_48m', {'xla_tpu_scoped_vmem_limit_kib': '49152'}),
+    ('scoped_vmem_64m', {'xla_tpu_scoped_vmem_limit_kib': '65536'}),
+    ('scoped_vmem_96m', {'xla_tpu_scoped_vmem_limit_kib': '98304'}),
+]
+
+
+def main(argv):
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--image-size', type=int, default=256)
+  parser.add_argument('--batch', type=int, default=128)
+  parser.add_argument('--iters', type=int, default=10)
+  parser.add_argument('--warmup', type=int, default=3)
+  args = parser.parse_args(argv)
+
+  import jax
+  import jax.numpy as jnp
+  import bench
+
+  forward, variables, batch_for = bench.build_forward(args.image_size, 'bf16')
+  batch = batch_for(args.batch)
+  fargs = (batch['inp'], batch['kspace'], batch['mask'])
+
+  def run_with(options):
+    @functools.partial(jax.jit, static_argnames='n',
+                       compiler_options=options or None)
+    def bench_loop(variables, inp, kspace, mask, n):
+      def body(x, _):
+        pred = forward(variables, x, kspace, mask)
+        return pred.astype(inp.dtype), None
+      out, _ = jax.lax.scan(body, inp, None, length=n)
+      return jnp.sum(out.astype(jnp.float32))
+
+    val = float(bench_loop(variables, *fargs, n=args.warmup))
+    assert val == val
+    float(bench_loop(variables, *fargs, n=args.warmup + args.iters))
+    start = time.perf_counter()
+    float(bench_loop(variables, *fargs, n=args.warmup))
+    base = time.perf_counter() - start
+    start = time.perf_counter()
+    float(bench_loop(variables, *fargs, n=args.warmup + args.iters))
+    elapsed = time.perf_counter() - start
+    return args.batch * args.iters / max(elapsed - base, 1e-9)
+
+  for name, options in SWEEP:
+    try:
+      rate = run_with(options)
+      print(json.dumps({'option': name, 'slices_per_sec': round(rate, 1)}),
+            flush=True)
+    except Exception as e:
+      print(json.dumps({'option': name, 'error': type(e).__name__,
+                        'detail': str(e)[:200]}), flush=True)
+
+
+if __name__ == '__main__':
+  main(sys.argv[1:])
