@@ -56,7 +56,9 @@ class SegmentationScore:
 
     model = self.model
 
-    @jax.jit
+    from csmri_refinement_tpu.utils.compile_opts import serving_jit
+
+    @serving_jit
     def predict(state, x):
       variables = {'params': state['params']}
       if state['batch_stats']:

@@ -297,7 +297,11 @@ class AdversarialRunner(BaseRunner):
     if key not in self._step_cache:
       import functools
       # donate gen/disc/pool state buffers: each step reuses them in place
-      self._step_cache[key] = functools.partial(jax.jit, donate_argnums=(0, 1, 2))(
+      from csmri_refinement_tpu.utils.compile_opts import (
+          training_compiler_options)
+      self._step_cache[key] = functools.partial(
+          jax.jit, donate_argnums=(0, 1, 2),
+          compiler_options=training_compiler_options())(
           lambda gen_state, disc_state, pool_state, batch, rng:
           self._train_step_impl(gen_state, disc_state, pool_state, batch,
                                 rng, update_gen, update_disc, use_disc))
@@ -457,8 +461,11 @@ class AdversarialRunner(BaseRunner):
         mean_losses = {name: jnp.mean(vals) for name, vals in losses.items()}
         return gen_state, disc_state, pool_state, mean_losses
 
+      from csmri_refinement_tpu.utils.compile_opts import (
+          training_compiler_options)
       self._step_cache[key] = functools.partial(
-          jax.jit, donate_argnums=(0, 1, 2))(scan_steps)
+          jax.jit, donate_argnums=(0, 1, 2),
+          compiler_options=training_compiler_options())(scan_steps)
     return self._step_cache[key]
 
   def _run_scanned_updates(self, host_batches):

@@ -175,7 +175,11 @@ class Runner(BaseRunner):
 
     # donate_argnums=0: the previous step's state buffers are reused for
     # the new state in place (params/opt-state never double-buffer in HBM)
-    @functools.partial(jax.jit, donate_argnums=0)
+    from csmri_refinement_tpu.utils.compile_opts import (
+        training_compiler_options)
+
+    @functools.partial(jax.jit, donate_argnums=0,
+                       compiler_options=training_compiler_options())
     def step(state, batch, rng):
       def loss_fn(params):
         out, new_bs = self._apply_model(params, state['batch_stats'],

@@ -57,3 +57,22 @@ def serving_jit(fn=None, *, image_size=None, **jit_kwargs):
                              **jit_kwargs)
   return jax.jit(fn, compiler_options=serving_compiler_options(image_size),
                  **jit_kwargs)
+
+
+def training_compiler_options():
+  """Opt-in scoped-VMEM override for TRAIN steps.
+
+  Unlike the serving path, no training default ships: set
+  CSMRI_TPU_TRAIN_SCOPED_VMEM_KIB to measure (bench.py --train picks it
+  up through the runners' step jits). Off-TPU or unset: None.
+  """
+  import jax
+  try:
+    if jax.default_backend() != 'tpu':
+      return None
+  except Exception:
+    return None
+  env = os.environ.get('CSMRI_TPU_TRAIN_SCOPED_VMEM_KIB')
+  if not env or env.strip() in ('', '0'):
+    return None
+  return {'xla_tpu_scoped_vmem_limit_kib': env.strip()}

@@ -30,6 +30,33 @@ SWEEP = [
     ('scoped_vmem_96m', {'xla_tpu_scoped_vmem_limit_kib': '98304'}),
 ]
 
+# Second-stage basket: each candidate stacked on the measured 40 MiB
+# scoped-VMEM optimum (the shipped default). Unknown-flag errors are
+# reported per row, not fatal.
+_BEST = {'xla_tpu_scoped_vmem_limit_kib': '40960'}
+EXTENDED = [
+    ('best', dict(_BEST)),
+    ('best+latency_hiding_sched',
+     dict(_BEST, xla_tpu_enable_latency_hiding_scheduler='true')),
+    ('best+bundle_aware_cost',
+     dict(_BEST, xla_tpu_use_bundle_aware_cost_model_for_fusions='true')),
+    ('best+no_bundle_aware_cost',
+     dict(_BEST, xla_tpu_use_bundle_aware_cost_model_for_fusions='false')),
+    ('best+licm_inflation_2x',
+     dict(_BEST, xla_tpu_licm_size_inflation_ratio='2.0')),
+    ('best+async_copy_bw_2x',
+     dict(_BEST, xla_tpu_async_copy_bandwidth_scaling_factor='2.0')),
+    ('best+no_rwb_fusion', dict(_BEST, xla_tpu_rwb_fusion='false')),
+    ('best+vector_load_window_1024',
+     dict(_BEST, xla_tpu_vector_load_fusion_window='1024')),
+    ('best+vector_store_window_512',
+     dict(_BEST, xla_tpu_vector_store_fusion_window='512')),
+    ('best+copy_elision_off',
+     dict(_BEST, xla_tpu_copy_with_multiple_users_elision='false')),
+    ('best+aggressive_fusion',
+     dict(_BEST, xla_tpu_enable_aggressive_loop_fusion_layout_opt='true')),
+]
+
 
 def main(argv):
   parser = argparse.ArgumentParser()
@@ -37,6 +64,9 @@ def main(argv):
   parser.add_argument('--batch', type=int, default=128)
   parser.add_argument('--iters', type=int, default=10)
   parser.add_argument('--warmup', type=int, default=3)
+  parser.add_argument('--extended', action='store_true',
+                      help='sweep the stacked candidate basket on top of '
+                           'the shipped scoped-VMEM optimum')
   args = parser.parse_args(argv)
 
   import jax
@@ -68,7 +98,7 @@ def main(argv):
     elapsed = time.perf_counter() - start
     return args.batch * args.iters / max(elapsed - base, 1e-9)
 
-  for name, options in SWEEP:
+  for name, options in (EXTENDED if args.extended else SWEEP):
     try:
       rate = run_with(options)
       print(json.dumps({'option': name, 'slices_per_sec': round(rate, 1)}),

@@ -160,3 +160,35 @@ def test_analyze_roundtrip(tmp_path):
   vol = load_analyze(str(base) + '.img')
   assert vol.shape == (4, 3, 2)
   np.testing.assert_allclose(vol, 2.0 * np.asarray(data, np.float32))
+
+
+def test_serving_compiler_options_gating(monkeypatch):
+  """compile_opts: off-TPU returns None; env var overrides and disables;
+  image-size selects the measured per-resolution optimum (NOTES round 3)."""
+  import jax
+  from csmri_refinement_tpu.utils import compile_opts as co
+
+  # The test suite runs on CPU, so the real gate yields None.
+  assert co.serving_compiler_options() is None
+
+  monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+  assert co.serving_compiler_options() == {
+      'xla_tpu_scoped_vmem_limit_kib': '40960'}
+  assert co.serving_compiler_options(image_size=512) == {
+      'xla_tpu_scoped_vmem_limit_kib': '65536'}
+  monkeypatch.setenv('CSMRI_TPU_SCOPED_VMEM_KIB', '12345')
+  assert co.serving_compiler_options(image_size=512) == {
+      'xla_tpu_scoped_vmem_limit_kib': '12345'}
+  monkeypatch.setenv('CSMRI_TPU_SCOPED_VMEM_KIB', '0')
+  assert co.serving_compiler_options() is None
+
+  # serving_jit degrades to a plain jit on CPU and stays callable.
+  monkeypatch.setattr(jax, 'default_backend', lambda: 'cpu')
+  monkeypatch.delenv('CSMRI_TPU_SCOPED_VMEM_KIB')
+  import jax.numpy as jnp
+
+  @co.serving_jit(image_size=256)
+  def f(x):
+    return x * 2
+
+  assert float(f(jnp.float32(3))) == 6.0
