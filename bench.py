@@ -5,17 +5,164 @@ Measures 256×256 reconstruction slices/sec/chip for the flagship pipeline
 (RecNet(3×3×32) + refinement U-Net wrapper, the configs/1+2 recipe) against
 the BASELINE.json north-star target of ≥5,000 slices/sec/chip on TPU v5e.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: either
+  {"metric", "value", "unit", "vs_baseline"}            (a measurement), or
+  {"metric", "error", "stage", "unit"}                   (structured failure).
+
+The record is UNLOSABLE by construction (VERDICT r3 #1): the default
+invocation runs a thin watchdog parent (no jax import) that re-executes
+this script as a measurement child. The child emits the headline record the
+moment it is measured — before any best-effort extras — and the parent
+relays it to stdout immediately. If the child hangs (the tunneled PJRT
+backend can wedge inside C calls, where Python signal handlers never run),
+crashes, or overruns the wall-clock budget, the parent kills it by PID and
+prints a structured error line instead. Nothing short of SIGKILLing the
+parent before the headline lands can produce empty stdout.
+
+Stage markers let the parent distinguish an infra outage
+("backend_init_hang" — preflight matmul never completed) from a code
+failure (stage "measure"/"build").
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
-import numpy as np
-
 TARGET = 5000.0  # slices/sec/chip (BASELINE.json north star)
+
+_CHILD_ENV = '_CSMRI_BENCH_CHILD'
+# The preflight (import jax + tiny jitted matmul) includes backend init and
+# first-compile latency: measured ~67 s healthy. 210 s separates "slow" from
+# "wedged".
+_PREFLIGHT_DEADLINE_S = 210.0
+_DEFAULT_BUDGET_S = 540.0
+
+
+def _metric_name(image_size, dtype_str):
+  return ('{s}x{s} recon slices/sec/chip (cascade+refine inference, '
+          '{d} compute)'.format(s=image_size, d=dtype_str))
+
+
+# ---------------------------------------------------------------------------
+# Watchdog parent: no jax, just child supervision + the stdout contract.
+# ---------------------------------------------------------------------------
+
+
+def parent_main(argv, args):
+  import queue
+  import signal
+  import subprocess
+  import threading
+
+  budget = args.budget
+  if budget is None:
+    default = _DEFAULT_BUDGET_S
+    if args.train or args.components or args.latency or args.extra_sizes:
+      default = 4 * _DEFAULT_BUDGET_S  # dev runs with extras take far longer
+    budget = float(os.environ.get('CSMRI_BENCH_BUDGET_S', default))
+
+  env = dict(os.environ)
+  env[_CHILD_ENV] = '1'
+  child = subprocess.Popen(
+      [sys.executable, os.path.abspath(__file__)] + list(argv),
+      stdout=subprocess.PIPE, env=env, text=True, bufsize=1)
+
+  lines = queue.Queue()
+
+  def _reader():
+    try:
+      for line in child.stdout:
+        lines.put(line)
+    finally:
+      lines.put(None)
+
+  threading.Thread(target=_reader, daemon=True).start()
+
+  state = {'stage': 'spawn', 'printed': False, 'headline': False}
+
+  def emit(record):
+    if state['printed']:
+      return
+    state['printed'] = True
+    print(json.dumps(record))
+    sys.stdout.flush()
+
+  def emit_error(error):
+    emit({'metric': _metric_name(args.image_size, args.dtype),
+          'error': error, 'stage': state['stage'], 'unit': 'slices/s'})
+
+  def finish(error, rc):
+    try:
+      child.kill()
+    except Exception:
+      pass
+    if state['headline']:
+      sys.exit(0)
+    emit_error(error)
+    sys.exit(rc)
+
+  class _Term(Exception):
+    pass
+
+  def _on_signal(signum, frame):
+    raise _Term(signal.Signals(signum).name)
+
+  for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+    try:
+      signal.signal(sig, _on_signal)
+    except (ValueError, OSError):
+      pass
+
+  start = time.monotonic()
+  preflight_ok = False
+  try:
+    while True:
+      now = time.monotonic()
+      if not preflight_ok and now - start > _PREFLIGHT_DEADLINE_S:
+        finish('backend_init_hang', 3)
+      if now - start > budget:
+        finish('budget_exceeded', 3)
+      try:
+        line = lines.get(timeout=1.0)
+      except queue.Empty:
+        continue
+      if line is None:  # child stdout EOF
+        rc = child.wait()
+        if state['headline']:
+          sys.exit(0)
+        finish('child_exit_rc_{}'.format(rc), 3)
+      try:
+        msg = json.loads(line)
+      except ValueError:
+        continue  # never let stray child output break the contract
+      kind = msg.pop('_kind', None)
+      if kind == 'stage':
+        state['stage'] = msg.get('stage', state['stage'])
+        if state['stage'] == 'preflight_ok':
+          preflight_ok = True
+      elif kind == 'headline':
+        state['headline'] = True
+        emit(msg)
+  except _Term as e:
+    finish(str(e).lower(), 3)
+
+
+# ---------------------------------------------------------------------------
+# Measurement child.
+# ---------------------------------------------------------------------------
+
+
+def _mark(stage):
+  print(json.dumps({'_kind': 'stage', 'stage': stage}))
+  sys.stdout.flush()
+
+
+def _headline(record):
+  record = dict(record, _kind='headline')
+  print(json.dumps(record))
+  sys.stdout.flush()
 
 
 def build_forward(image_size, dtype_str, fused_conv=False):
@@ -75,7 +222,6 @@ def build_forward(image_size, dtype_str, fused_conv=False):
 
 def run_bench(batch_size, image_size, iters, warmup, dtype_str,
               fused_conv=False):
-  import functools
   import jax
   import jax.numpy as jnp
 
@@ -92,16 +238,20 @@ def run_bench(batch_size, image_size, iters, warmup, dtype_str,
   # execution there, and independent unfetched dispatches could be elided.
   # Serving compiler options: measured scoped-VMEM fusion-budget optimum
   # (+6.3% at 256^2, +3.8% at 512^2 — utils/compile_opts.py, NOTES round 3).
-  from csmri_refinement_tpu.utils.compile_opts import serving_compiler_options
+  # _FallbackJit retries the first compile without the options if the
+  # relay/libtpu rejects them (VERDICT r3 #2).
+  from csmri_refinement_tpu.utils.compile_opts import (
+      _FallbackJit, serving_compiler_options)
 
-  @functools.partial(jax.jit, static_argnames='n',
-                     compiler_options=serving_compiler_options(image_size))
-  def bench_loop(variables, inp, kspace, mask, n):
+  def _loop(variables, inp, kspace, mask, n):
     def body(x, _):
       pred = forward(variables, x, kspace, mask)
       return pred.astype(inp.dtype), None
     out, _ = jax.lax.scan(body, inp, None, length=n)
     return jnp.sum(out.astype(jnp.float32))
+
+  bench_loop = _FallbackJit(_loop, serving_compiler_options(image_size),
+                            static_argnames='n')
 
   # Compile both scan variants before timing anything
   val = float(bench_loop(variables, *args, n=warmup))
@@ -169,11 +319,9 @@ def run_train_bench(image_size, batch_size, steps):
   """Flagship GAN training throughput (paper configs/2 recipe on synthetic
   data): steady-state samples/sec of the full D-then-G jitted update.
   Printed to stderr — the stdout contract stays one JSON line."""
-  import jax
   from csmri_refinement_tpu.training import build_runner
   from csmri_refinement_tpu.utils.config import Configuration
 
-  import os
   with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          'configs', '2-refinement.json')) as f:
     raw = json.load(f)
@@ -225,6 +373,130 @@ def run_train_bench(image_size, batch_size, steps):
   sys.stderr.flush()
 
 
+def child_main(args):
+  # Backend-health preflight: import + tiny jitted matmul + f32 scalar
+  # fetch. Wedged-backend hangs stall here, where the parent's deadline
+  # turns them into a fast structured "backend_init_hang" record.
+  _mark('preflight')
+  import jax
+  if args.platform:
+    jax.config.update('jax_platforms', args.platform)
+  import jax.numpy as jnp
+  x = jnp.ones((256, 256), jnp.float32)
+  assert float(jax.jit(lambda x: (x @ x).sum())(x)) == 256.0 * 256 * 256
+  _mark('preflight_ok')
+
+  dtype = args.dtype
+  fallback = False
+  _mark('measure')
+  try:
+    if args.profile:
+      if jax.default_backend() not in ('cpu', 'gpu'):
+        # jax.profiler device tracing HANGS on the tunneled TPU backend
+        # (NOTES.md "Profiler status") — refuse rather than wedge the run.
+        sys.stderr.write(
+            'bench: --profile refused on backend {!r} (device tracing '
+            'hangs through the tunnel; use --components / timed_scan '
+            'instead, or --platform cpu)\n'.format(jax.default_backend()))
+        sys.exit(2)
+      from csmri_refinement_tpu.utils.profiling import trace
+      with trace(args.profile):
+        slices_per_sec = run_bench(args.batch_size, args.image_size,
+                                   args.iters, args.warmup, dtype,
+                                   fused_conv=args.fused_conv)
+    else:
+      slices_per_sec = run_bench(args.batch_size, args.image_size, args.iters,
+                                 args.warmup, dtype,
+                                 fused_conv=args.fused_conv)
+  except Exception as e:  # degrade rather than losing the bench record
+    sys.stderr.write('bench: {} run failed ({}: {}); retrying f32 batch 32\n'
+                     .format(dtype, type(e).__name__, e))
+    sys.stderr.flush()
+    dtype = 'f32'
+    fallback = True
+    _mark('measure_fallback')
+    try:
+      # Cheap: small batch, few iters, and all extras skipped below.
+      slices_per_sec = run_bench(32, args.image_size, 3, 2, dtype)
+    except Exception as e2:
+      _headline({'metric': _metric_name(args.image_size, dtype),
+                 'error': '{}: {}'.format(type(e2).__name__, e2)[:300],
+                 'stage': 'measure_fallback', 'unit': 'slices/s'})
+      return
+
+  # The official record goes out FIRST; everything after is best-effort.
+  _headline({
+      'metric': _metric_name(args.image_size, dtype),
+      'value': round(slices_per_sec, 1),
+      'unit': 'slices/s',
+      'vs_baseline': round(slices_per_sec / TARGET, 3),
+  })
+
+  if fallback:
+    return  # keep the fallback cheap: no extras
+
+  _mark('extras')
+  if args.components:
+    try:
+      run_components(args.image_size, args.batch_size, args.dtype)
+    except Exception as e:
+      sys.stderr.write('bench: --components failed ({})\n'
+                       .format(type(e).__name__))
+
+  if args.train:
+    # paper recipe batch 5 (per-step fetch + scanned), and the large-batch
+    # throughput mode (conv rates on this chip are ∝ min(batch, 128);
+    # batch 64 RESOURCE_EXHAUSTs HBM for the 5-network GAN step — 32 is
+    # the measured ceiling). Each row is best-effort.
+    for bs, st in ((5, args.train_steps), (32, max(args.train_steps // 2, 2))):
+      try:
+        run_train_bench(args.image_size, bs, st)
+      except Exception as e:
+        sys.stderr.write(json.dumps({
+            'metric': '{s}x{s} GAN train samples/sec/chip (batch {b})'
+                      .format(s=args.image_size, b=bs),
+            'error': type(e).__name__}) + '\n')
+        sys.stderr.flush()
+
+  extra_sizes = args.extra_sizes
+  if extra_sizes is None:
+    extra_sizes = [512] if args.image_size != 512 else []
+
+  if args.latency:
+    # Batch-1 single-slice serving latency (the reference's validate.py
+    # pins batch 1). Uses more iters: per-call work is ~100x smaller.
+    for size in [args.image_size] + list(extra_sizes):
+      try:
+        rate = run_bench(1, size, max(args.iters * 5, 30), args.warmup,
+                         dtype, fused_conv=args.fused_conv)
+        row = {'metric': '{s}x{s} recon batch-1 serving latency '
+                         '({d}{f} compute)'.format(
+                             s=size, d=dtype,
+                             f='+fused' if args.fused_conv else ''),
+               'value': round(1e3 / rate, 2), 'unit': 'ms/slice'}
+      except Exception as e:
+        row = {'metric': '{s}x{s} recon batch-1 serving latency'
+                         .format(s=size), 'error': type(e).__name__}
+      sys.stderr.write(json.dumps(row) + '\n')
+      sys.stderr.flush()
+
+  # Batch stays at the main bench's value — conv throughput is
+  # ∝ min(batch, 128) on this chip regardless of resolution (NOTES.md
+  # round 2), so shrinking batch at larger sizes would under-report.
+  for size in extra_sizes:
+    try:
+      extra = run_bench(max(args.batch_size, 8), size, args.iters,
+                        args.warmup, dtype, fused_conv=args.fused_conv)
+      row = {'metric': '{s}x{s} recon slices/sec/chip (cascade+refine '
+                       'inference, {d} compute)'.format(s=size, d=dtype),
+             'value': round(extra, 1), 'unit': 'slices/s'}
+    except Exception as e:
+      row = {'metric': '{s}x{s} recon slices/sec/chip'.format(s=size),
+             'error': type(e).__name__}
+    sys.stderr.write(json.dumps(row) + '\n')
+    sys.stderr.flush()
+
+
 def main(argv):
   parser = argparse.ArgumentParser()
   parser.add_argument('--batch-size', type=int, default=128)
@@ -255,103 +527,17 @@ def main(argv):
   parser.add_argument('--fused-conv', action='store_true',
                       help='route eval U-Net conv chains through the fused '
                            'Pallas kernel (ops/conv_pallas.py)')
+  parser.add_argument('--budget', type=float, default=None,
+                      help='watchdog wall-clock budget in seconds (default '
+                           'env CSMRI_BENCH_BUDGET_S or {}); past it the '
+                           'best-known record or a structured error is '
+                           'emitted'.format(int(_DEFAULT_BUDGET_S)))
   args = parser.parse_args(argv)
 
-  if args.platform:
-    import jax
-    jax.config.update('jax_platforms', args.platform)
-
-  if args.components:
-    run_components(args.image_size, args.batch_size, args.dtype)
-
-  if args.train:
-    # paper recipe batch 5 (per-step fetch + scanned), and the large-batch
-    # throughput mode (conv rates on this chip are ∝ min(batch, 128);
-    # batch 64 RESOURCE_EXHAUSTs HBM for the 5-network GAN step — 32 is
-    # the measured ceiling). Each row is best-effort: a failure must not
-    # kill the stdout contract.
-    for bs, st in ((5, args.train_steps), (32, max(args.train_steps // 2, 2))):
-      try:
-        run_train_bench(args.image_size, bs, st)
-      except Exception as e:
-        sys.stderr.write(json.dumps({
-            'metric': '{s}x{s} GAN train samples/sec/chip (batch {b})'
-                      .format(s=args.image_size, b=bs),
-            'error': type(e).__name__}) + '\n')
-        sys.stderr.flush()
-
-  dtype = args.dtype
-  try:
-    if args.profile:
-      import jax
-      if jax.default_backend() not in ('cpu', 'gpu'):
-        # jax.profiler device tracing HANGS on the tunneled TPU backend
-        # (NOTES.md "Profiler status") — refuse rather than wedge the run.
-        sys.stderr.write(
-            'bench: --profile refused on backend {!r} (device tracing '
-            'hangs through the tunnel; use --components / timed_scan '
-            'instead, or --platform cpu)\n'.format(jax.default_backend()))
-        sys.exit(2)
-      from csmri_refinement_tpu.utils.profiling import trace
-      with trace(args.profile):
-        slices_per_sec = run_bench(args.batch_size, args.image_size,
-                                   args.iters, args.warmup, dtype,
-                                   fused_conv=args.fused_conv)
-    else:
-      slices_per_sec = run_bench(args.batch_size, args.image_size, args.iters,
-                                 args.warmup, dtype,
-                                 fused_conv=args.fused_conv)
-  except Exception as e:  # degrade rather than losing the bench record
-    sys.stderr.write('bench: {} run failed ({}); retrying f32 batch 32\n'
-                     .format(dtype, type(e).__name__))
-    dtype = 'f32'
-    slices_per_sec = run_bench(32, args.image_size, max(args.iters // 2, 3),
-                               args.warmup, dtype)
-
-  # Extra rows never jeopardize the stdout contract (one JSON line below):
-  # each size is individually best-effort. Batch stays at the main bench's
-  # value — conv throughput is ∝ min(batch, 128) on this chip regardless
-  # of resolution (NOTES.md round 2), so shrinking batch at larger sizes
-  # would systematically under-report.
-  extra_sizes = args.extra_sizes
-  if extra_sizes is None:
-    extra_sizes = [512] if args.image_size != 512 else []
-
-  if args.latency:
-    # Batch-1 single-slice serving latency (the reference's validate.py
-    # pins batch 1). Uses more iters: per-call work is ~100x smaller.
-    for size in [args.image_size] + list(extra_sizes):
-      try:
-        rate = run_bench(1, size, max(args.iters * 5, 30), args.warmup,
-                         dtype)
-        row = {'metric': '{s}x{s} recon batch-1 serving latency '
-                         '({d} compute)'.format(s=size, d=dtype),
-               'value': round(1e3 / rate, 2), 'unit': 'ms/slice'}
-      except Exception as e:
-        row = {'metric': '{s}x{s} recon batch-1 serving latency'
-                         .format(s=size), 'error': type(e).__name__}
-      sys.stderr.write(json.dumps(row) + '\n')
-      sys.stderr.flush()
-  for size in extra_sizes:
-    try:
-      extra = run_bench(max(args.batch_size, 8), size, args.iters,
-                        args.warmup, dtype)
-      row = {'metric': '{s}x{s} recon slices/sec/chip (cascade+refine '
-                       'inference, {d} compute)'.format(s=size, d=dtype),
-             'value': round(extra, 1), 'unit': 'slices/s'}
-    except Exception as e:
-      row = {'metric': '{s}x{s} recon slices/sec/chip'.format(s=size),
-             'error': type(e).__name__}
-    sys.stderr.write(json.dumps(row) + '\n')
-    sys.stderr.flush()
-
-  print(json.dumps({
-      'metric': '{s}x{s} recon slices/sec/chip (cascade+refine inference, '
-                '{d} compute)'.format(s=args.image_size, d=dtype),
-      'value': round(slices_per_sec, 1),
-      'unit': 'slices/s',
-      'vs_baseline': round(slices_per_sec / TARGET, 3),
-  }))
+  if os.environ.get(_CHILD_ENV):
+    child_main(args)
+  else:
+    parent_main(argv, args)
 
 
 if __name__ == '__main__':

@@ -65,18 +65,25 @@ class MetricFunction:
 
 
 def _fetch_f32(array):
-  """Device→host fetch that never transfers bf16.
+  """Device→host fetch that never transfers bf16 or complex.
 
-  bf16 device→host transfers are UNIMPLEMENTED on the tunneled TPU backend
-  (NOTES.md); models whose eval output stays bf16 must be cast on device
-  (under jit — sizable eager ops hang there) before the fetch.
+  bf16 AND complex64 device→host transfers are UNIMPLEMENTED on the
+  tunneled TPU backend (NOTES.md); such arrays must be cast on device
+  (under jit — sizable eager ops hang there) before the fetch. Complex
+  values fetch as packed (..., 2) re/im float32 — the repo's packed-complex
+  convention.
   """
   import numpy as np
   if isinstance(array, np.ndarray):
     return array
   import jax
   import jax.numpy as jnp
-  if getattr(array, 'dtype', None) == jnp.bfloat16:
+  dtype = getattr(array, 'dtype', None)
+  if dtype is not None and jnp.issubdtype(dtype, jnp.complexfloating):
+    packed = jax.jit(lambda v: jnp.stack(
+        [v.real.astype(jnp.float32), v.imag.astype(jnp.float32)], -1))(array)
+    return np.asarray(packed).view(np.complex64).reshape(np.shape(array))
+  if dtype == jnp.bfloat16:
     array = jax.jit(lambda v: v.astype(jnp.float32))(array)
   return np.asarray(array)
 

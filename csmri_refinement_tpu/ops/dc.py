@@ -336,11 +336,15 @@ def lines_acc_from_undersampling(us):
 
 def skinny_num_lines(h, acc, sample_n=None):
   """Exact sampled-line count of ops/masks.cartesian_mask: nx//acc pdf +
-  centre lines, floored at the ``sample_n`` guaranteed centre lines."""
+  centre lines, floored at the ``sample_n`` guaranteed centre lines.
+  Delegates to masks.cartesian_num_lines — the same helper the on-device
+  generator uses for static accelerations — so the gate and the generator
+  cannot disagree (ADVICE r3: f32 vs f64 floor division differs at
+  e.g. acc=3.2)."""
+  from csmri_refinement_tpu.ops import masks as mask_ops
   if sample_n is None:
-    from csmri_refinement_tpu.ops import masks as mask_ops
     sample_n = mask_ops.CARTESIAN_CENTRAL_LINES
-  return max(int(h // float(acc)), int(sample_n))
+  return mask_ops.cartesian_num_lines(h, acc, sample_n)
 
 
 def _skinny_synth(g_cat, tr, ti):

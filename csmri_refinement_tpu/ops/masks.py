@@ -279,6 +279,19 @@ def get_undersampling_sensitivity(dim, target_factor, num_trials=20,
 CARTESIAN_CENTRAL_LINES = 8  # reference myImageTransformations.py:73
 
 
+def cartesian_num_lines(nx, acc, sample_n=CARTESIAN_CENTRAL_LINES):
+  """Total sampled-line count of a static-acceleration cartesian mask.
+
+  The single source of truth shared by the on-device generator
+  (cartesian_mask) and the skinny-DC host gate (ops/dc.skinny_num_lines):
+  reference f64 arithmetic `int(Nx // acc)` (compressed_sensing.py:94),
+  floored at the guaranteed centre lines. Sharing it guarantees the skinny
+  DC restores exactly the sampled rows for every legal acceleration
+  (f32 vs f64 floor-division differs for e.g. acc=3.2)."""
+  base = int(nx // float(acc))
+  return max(base, int(sample_n)) if sample_n else base
+
+
 def get_mask_generator_np(sampling_scheme, im_shape, acceleration_factor,
                           variable=False, rng=None):
   """Host-side mask generator closure (myImageTransformations.py:22-84)."""
@@ -352,15 +365,30 @@ def cartesian_mask(key, shape, acc, sample_n=CARTESIAN_CENTRAL_LINES,
   all shapes static under jit.
   """
   batch, nx, ny = shape
+  # Static accelerations take the host (reference f64 `int(Nx // acc)`,
+  # cartesian_mask_np / compressed_sensing.py:94) line count — the SAME
+  # arithmetic the skinny-DC gate uses (cartesian_num_lines), so the two
+  # can never disagree. The traced f32 floor-divide disagrees with f64 for
+  # non-integer accelerations (e.g. 256//3.2 → 80 in f32 vs 79 in f64) and
+  # is kept only for traced per-example accelerations (variable
+  # acceleration), where the skinny DC never applies.
+  static_acc = isinstance(acc, (int, float)) or (
+      isinstance(acc, np.ndarray) and acc.ndim == 0)
+  if static_acc:
+    pdf_count = cartesian_num_lines(nx, acc, sample_n) - (sample_n or 0)
+    n_lines_b = jnp.full((batch,), pdf_count, jnp.int32)
+  else:
+    acc_t = jnp.asarray(acc, dtype=jnp.float32)
+    n_lines_b = ((nx // jnp.broadcast_to(acc_t, (batch,)))
+                 .astype(jnp.int32) - (sample_n if sample_n else 0))
   acc = jnp.asarray(acc, dtype=jnp.float32)
   acc_b = jnp.broadcast_to(acc, (batch,))
 
   if keys is None:
     keys = jax.random.split(key, batch)
 
-  def one_mask(k, acc_i):
+  def one_mask(k, acc_i, n_lines):
     pdf = _cartesian_pdf(nx, acc_i, sample_n)
-    n_lines = (nx // acc_i).astype(jnp.int32) - (sample_n if sample_n else 0)
     gumbel = jax.random.gumbel(k, (nx,))
     scores = jnp.where(pdf > 0, jnp.log(pdf) + gumbel, -jnp.inf)
     # rank[i] = how many scores are strictly greater → top-n_lines selection
@@ -375,7 +403,7 @@ def cartesian_mask(key, shape, acc, sample_n=CARTESIAN_CENTRAL_LINES,
       mask_x = jnp.where(center, 1.0, mask_x)
     return jnp.broadcast_to(mask_x[:, None], (nx, ny))
 
-  mask = jax.vmap(one_mask)(keys, acc_b)
+  mask = jax.vmap(one_mask)(keys, acc_b, n_lines_b)
   if not centred:
     mask = jnp.fft.ifftshift(mask, axes=(-2, -1))
   return mask

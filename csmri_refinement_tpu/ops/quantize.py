@@ -5,16 +5,20 @@ int8, activations dynamically per batch element) and runs them through the
 fused Pallas chain kernel (ops/conv_pallas.py) with int32 MXU accumulation
 and exact f32 per-layer epilogues (dequant + bias + LeakyReLU + requant).
 
-THIS MODE SITS OUTSIDE THE 0.1 dB DEFAULT QUALITY BUDGET. 8-bit
-activations perturb reconstructions at roughly 45 dB fidelity, which
-against a ~38 dB reference-error signal shifts PSNR by several tenths of a
-dB (NOTES.md round 2 estimate; measured table in NOTES round 3). Nothing
+THIS MODE SITS OUTSIDE THE 0.1 dB DEFAULT QUALITY BUDGET by policy,
+though the measured cost on a trained checkpoint is small (-0.016 dB /
+-0.0003 SSIM at 256², NOTES round-3 quality-vs-dtype table). Nothing
 enables it by default: it is reachable only through
 ``UNET(quantize_inference=True)`` / the ``quantize_inference`` config key /
 ``bench.py --dtype int8``.
 
-Rebuilds nothing from the reference (which has no quantized path); exists
-because the v5e MXU runs s8 x s8 at twice the bf16 rate.
+Rebuilds nothing from the reference (which has no quantized path). int8 is
+NOT faster on this stack: a 4096³ s8×s8→s32 matmul measures 158 TOPS vs
+209 TFLOPS bf16 (0.76×) on this libtpu — the datasheet's 2× int8 path is
+not what dot_general emits here (NOTES round 3,
+scripts/probe_int8_prims.py). The mode's value is halved HBM traffic for
+chain intermediates plus the quality-vs-dtype evidence table, not MXU
+speed.
 """
 
 from typing import Sequence
@@ -23,6 +27,21 @@ import jax
 import jax.numpy as jnp
 
 from csmri_refinement_tpu.ops import conv_pallas
+
+
+# Trace-time (n_layers, n_quantized) per chain_forward_int8 call; tooling
+# resets it, traces a model, and checks fell_back_to_bf16().
+_TRACE_LOG = []
+
+
+def reset_trace_log():
+  _TRACE_LOG.clear()
+
+
+def fell_back_to_bf16():
+  """True if any chain traced since reset_trace_log() ran 0 quantized
+  layers (VMEM-budget trim, ops/conv_pallas._VMEM_BUDGET)."""
+  return any(q == 0 for _, q in _TRACE_LOG)
 
 
 def quantize_weight(w):
@@ -78,6 +97,10 @@ def chain_forward_int8(x, layers, *, pad_mode='reflection',
   while start < n and conv_pallas._vmem_estimate(
       layers[start:], w, h, pad_mode, 1) > conv_pallas._VMEM_BUDGET:
     start += 1
+  # Trace-time record so quality tooling can label rows where the
+  # quantized chain was trimmed back to the bf16 XLA path (VMEM budget) —
+  # those rows are fallback-correctness records, not int8 measurements.
+  _TRACE_LOG.append((n, n - start))
   for lay in layers[:start]:
     x = conv_pallas._xla_layer(x, lay, pad_mode)
   if start < n:

@@ -69,11 +69,12 @@ def mesh_from_conf(conf):
   else:
     n = int(n) * spatial
   mesh = make_mesh(n, spatial=spatial)
+  # FFT HLOs cannot be partitioned over image rows on XLA:CPU; the GEMM
+  # DC lowering shards cleanly on every backend. Set unconditionally so a
+  # later 1-D mesh in the same process clears the flag (ADVICE r3).
+  from csmri_refinement_tpu.ops import dc
+  dc.set_spatial_mesh(spatial > 1)
   if spatial > 1:
-    # FFT HLOs cannot be partitioned over image rows on XLA:CPU; the GEMM
-    # DC lowering shards cleanly on every backend.
-    from csmri_refinement_tpu.ops import dc
-    dc.set_spatial_mesh(True)
     logging.info('Using %dx%d data x spatial device mesh',
                  mesh.shape[DATA_AXIS], spatial)
   else:

@@ -45,18 +45,59 @@ def serving_compiler_options(image_size=None):
   return {'xla_tpu_scoped_vmem_limit_kib': str(kib)}
 
 
+class _FallbackJit:
+  """A jitted callable that retries its first call without compiler options.
+
+  The scoped-VMEM serving option is load-bearing on every val/predict jit;
+  if a relay/libtpu build rejects the per-jit `compiler_options` (one
+  hypothesis for the round-3 driver-time RuntimeError), evaluation must
+  degrade to the plain jit — slightly slower — instead of dying. Only the
+  first call is guarded (compilation happens there); afterwards calls
+  delegate directly.
+  """
+
+  def __init__(self, fn, options, **jit_kwargs):
+    import jax
+    self._fn = fn
+    self._jit_kwargs = jit_kwargs
+    self._active = jax.jit(fn, compiler_options=options, **jit_kwargs)
+    self._guarded = options is not None
+
+  def __call__(self, *args, **kwargs):
+    if not self._guarded:
+      return self._active(*args, **kwargs)
+    import jax
+    try:
+      out = self._active(*args, **kwargs)
+      self._guarded = False
+      return out
+    except jax.errors.JaxRuntimeError as e:
+      import logging
+      logging.getLogger(__name__).error(
+          'serving compiler_options rejected at first compile (%s: %s); '
+          'retrying WITHOUT compiler options — set '
+          'CSMRI_TPU_SCOPED_VMEM_KIB=0 to silence', type(e).__name__, e)
+      self._active = jax.jit(self._fn, **self._jit_kwargs)
+      self._guarded = False
+      return self._active(*args, **kwargs)
+
+
 def serving_jit(fn=None, *, image_size=None, **jit_kwargs):
   """`jax.jit` with the measured serving compiler options applied.
 
   Usable as a decorator or a wrapper; extra kwargs pass through to jit.
+  The returned callable retries its first call without the options if the
+  backend rejects them (see _FallbackJit).
   """
   import functools
-  import jax
   if fn is None:
     return functools.partial(serving_jit, image_size=image_size,
                              **jit_kwargs)
-  return jax.jit(fn, compiler_options=serving_compiler_options(image_size),
-                 **jit_kwargs)
+  options = serving_compiler_options(image_size)
+  if options is None:
+    import jax
+    return jax.jit(fn, **jit_kwargs)
+  return _FallbackJit(fn, options, **jit_kwargs)
 
 
 def training_compiler_options():

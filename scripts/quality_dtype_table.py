@@ -91,6 +91,9 @@ def main():
     base_psnr = base_ssim = None
     for name, kw in modes:
       model = build(size, **kw)
+      if kw.get('quantized'):
+        from csmri_refinement_tpu.ops import quantize
+        quantize.reset_trace_log()
 
       @jax.jit
       def predict(v, i, k, m):
@@ -108,8 +111,15 @@ def main():
       p, s = float(p), float(s)
       if base_psnr is None:
         base_psnr, base_ssim = p, s
+      label = name
+      if kw.get('quantized'):
+        from csmri_refinement_tpu.ops import quantize
+        if quantize.fell_back_to_bf16():
+          # A VMEM-budget trim rode the bf16 XLA path: this row is a
+          # fallback-correctness record, not an int8 measurement.
+          label = name + ' [bf16 VMEM-fallback]'
       print('| {} | {} | {:.4f} | {:+.4f} | {:.4f} | {:+.4f} |'.format(
-          size, name, p, p - base_psnr, s, s - base_ssim), flush=True)
+          size, label, p, p - base_psnr, s, s - base_ssim), flush=True)
 
 
 if __name__ == '__main__':

@@ -29,7 +29,8 @@ def pytest_configure(config):
   config.addinivalue_line(
       'markers',
       'slow: heavyweight end-to-end/architecture tests '
-      '(quick loop: pytest -m "not slow", ~6 min; full suite ~21 min)')
+      '(quick loop: pytest -m "not slow", ~10 min on 1 CPU core — the '
+      '8-device mesh tests serialize; full suite ~45 min on 1 CPU)')
   config.addinivalue_line(
       'markers',
       'parity: torch-twin / golden forward-parity tests (subset of slow; '

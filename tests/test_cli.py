@@ -211,3 +211,34 @@ def test_flagship_refinement_config_end_to_end(tmp_path):
   validate_cli.main([
       flagship_path, deployed, '--dry', '--conf',
       'train_dataset=Synthetic', 'validation_dataset=Synthetic', synth])
+
+
+def test_bench_watchdog_stdout_contract(tmp_path):
+  """bench.py (VERDICT r3 #1): the watchdog parent must put EXACTLY one
+  JSON line on stdout — a measurement here; a structured error record when
+  the child is killed at the budget."""
+  import subprocess
+  import sys
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+  out = subprocess.run(
+      [sys.executable, 'bench.py', '--platform', 'cpu', '--batch-size', '2',
+       '--image-size', '32', '--iters', '2', '--warmup', '1',
+       '--extra-sizes'],
+      capture_output=True, text=True, cwd=repo, timeout=240)
+  lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+  assert len(lines) == 1, out.stdout
+  rec = json.loads(lines[0])
+  assert rec['unit'] == 'slices/s'
+  assert rec['value'] > 0 and 'vs_baseline' in rec
+
+  # Budget expiry: still exactly one line, now a structured error record
+  # whose stage distinguishes outage from code failure.
+  out = subprocess.run(
+      [sys.executable, 'bench.py', '--platform', 'cpu', '--budget', '2'],
+      capture_output=True, text=True, cwd=repo, timeout=120)
+  lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+  assert len(lines) == 1, out.stdout
+  rec = json.loads(lines[0])
+  assert rec['error'] == 'budget_exceeded'
+  assert 'stage' in rec and 'metric' in rec

@@ -113,6 +113,21 @@ def test_cartesian_mask_jax_variable_acceleration():
       lines, [64 // 2, 64 // 4, 64 // 8, max(64 // 16, 8)])
 
 
+def test_cartesian_mask_line_count_matches_skinny_gate_fractional_acc():
+  """ADVICE r3 (medium): for non-integer accelerations (e.g. 3.2, 6.4) the
+  on-device generator's line count must equal skinny_num_lines exactly —
+  an f32 floor-divide gives 256//3.2 == 80 while the reference f64
+  arithmetic gives 79, silently dropping one restored k-space row."""
+  from csmri_refinement_tpu.ops import dc as dc_ops
+  for h, acc in [(256, 3.2), (256, 6.4), (128, 2.56), (64, 4.0), (64, 3.2)]:
+    mask = np.asarray(mask_ops.cartesian_mask(
+        jax.random.PRNGKey(5), (4, h, h), acc, sample_n=8, centred=True))
+    lines = mask[:, :, 0].sum(axis=1)
+    expected = dc_ops.skinny_num_lines(h, acc, sample_n=8)
+    np.testing.assert_array_equal(lines, expected), (h, acc)
+    assert expected == max(int(h // float(acc)), 8)  # reference f64 math
+
+
 def test_cartesian_mask_jax_is_deterministic_per_key():
   key = jax.random.PRNGKey(42)
   m1 = np.asarray(mask_ops.cartesian_mask(key, (2, 32, 32), 4.0))

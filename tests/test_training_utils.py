@@ -192,3 +192,29 @@ def test_serving_compiler_options_gating(monkeypatch):
     return x * 2
 
   assert float(f(jnp.float32(3))) == 6.0
+
+
+def test_fallback_jit_retries_without_rejected_compiler_options():
+  """VERDICT r3 #2: a backend that rejects the scoped-VMEM compiler option
+  must not kill the eval path — the first call retries option-free. The
+  CPU backend genuinely rejects TPU-only options with JaxRuntimeError,
+  exercising the real failure mode."""
+  import jax.numpy as jnp
+  from csmri_refinement_tpu.utils import compile_opts as co
+
+  calls = []
+
+  def f(x):
+    calls.append(1)
+    return x * 3
+
+  wrapped = co._FallbackJit(f, {'xla_tpu_scoped_vmem_limit_kib': '40960'})
+  assert float(wrapped(jnp.float32(2))) == 6.0  # recovered
+  assert not wrapped._guarded
+  assert float(wrapped(jnp.float32(4))) == 12.0
+
+  # static_argnames passes through to the fallback jit too.
+  wrapped2 = co._FallbackJit(lambda x, n: x * n,
+                             {'xla_tpu_scoped_vmem_limit_kib': '1'},
+                             static_argnames='n')
+  assert float(wrapped2(jnp.float32(2), n=5)) == 10.0
