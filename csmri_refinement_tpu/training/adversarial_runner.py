@@ -295,16 +295,13 @@ class AdversarialRunner(BaseRunner):
   def _get_step_fn(self, update_gen, update_disc, use_disc):
     key = (update_gen, update_disc, use_disc)
     if key not in self._step_cache:
-      import functools
       # donate gen/disc/pool state buffers: each step reuses them in place
-      from csmri_refinement_tpu.utils.compile_opts import (
-          training_compiler_options)
-      self._step_cache[key] = functools.partial(
-          jax.jit, donate_argnums=(0, 1, 2),
-          compiler_options=training_compiler_options())(
+      from csmri_refinement_tpu.utils.compile_opts import training_jit
+      self._step_cache[key] = training_jit(
           lambda gen_state, disc_state, pool_state, batch, rng:
           self._train_step_impl(gen_state, disc_state, pool_state, batch,
-                                rng, update_gen, update_disc, use_disc))
+                                rng, update_gen, update_disc, use_disc),
+          donate_argnums=(0, 1, 2))
     return self._step_cache[key]
 
   def _train_step_impl(self, gen_state, disc_state, pool_state, batch, rng,
@@ -445,8 +442,6 @@ class AdversarialRunner(BaseRunner):
     device — one host fetch per k steps instead of per step."""
     key = ('scan', k, use_disc)
     if key not in self._step_cache:
-      import functools
-
       def scan_steps(gen_state, disc_state, pool_state, batches, rngs):
         def body(carry, xs):
           gen_s, disc_s, pool_s = carry
@@ -461,11 +456,9 @@ class AdversarialRunner(BaseRunner):
         mean_losses = {name: jnp.mean(vals) for name, vals in losses.items()}
         return gen_state, disc_state, pool_state, mean_losses
 
-      from csmri_refinement_tpu.utils.compile_opts import (
-          training_compiler_options)
-      self._step_cache[key] = functools.partial(
-          jax.jit, donate_argnums=(0, 1, 2),
-          compiler_options=training_compiler_options())(scan_steps)
+      from csmri_refinement_tpu.utils.compile_opts import training_jit
+      self._step_cache[key] = training_jit(scan_steps,
+                                           donate_argnums=(0, 1, 2))
     return self._step_cache[key]
 
   def _run_scanned_updates(self, host_batches):

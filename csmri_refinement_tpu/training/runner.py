@@ -30,7 +30,7 @@ from csmri_refinement_tpu.training.model_setup import (
     apply_pretrained_weights)
 from csmri_refinement_tpu.models.criteria import get_criterion
 from csmri_refinement_tpu.parallel import mesh_from_conf, replicate, \
-    shard_batch
+    shard_batch, shard_stacked_batch
 from csmri_refinement_tpu.utils.config import Configuration
 
 
@@ -97,12 +97,21 @@ class Runner(BaseRunner):
           name: get_metric_fn(conf, name, 'train')
           for name in conf.get_attr('train_metrics', default=[])}
 
+      # Throughput mode: lax.scan k updates per host loss fetch. The
+      # single-network step is even more dispatch/fetch-bound than the
+      # GAN step this was built for (adversarial_runner, NOTES.md round
+      # 3); per-step TB loss logging coarsens to every k steps, the
+      # optimization trajectory is unchanged (equivalence-tested).
+      self.steps_per_fetch = conf.get_attr('steps_per_fetch', default=1)
+      self._scan_step_fn = None
+
       self._train_step_fn = self._make_train_step()
     else:
       self.criteria = {}
       self.train_metric_fns = {}
       self.tx = None
       self.lr_scheduler = None
+      self.steps_per_fetch = 1
 
     self._val_step_fn = self._make_val_step()
 
@@ -169,41 +178,89 @@ class Runner(BaseRunner):
       return out, new_model_state.get('batch_stats', {})
     return out, batch_stats
 
-  def _make_train_step(self):
+  def _train_step_impl(self, state, batch, rng):
+    """One update's math (traceable: used by both the per-step jit and the
+    steps_per_fetch lax.scan)."""
     criteria = self.criteria
     weights = self.loss_weights
 
+    def loss_fn(params):
+      out, new_bs = self._apply_model(params, state['batch_stats'],
+                                      batch, True, rng)
+      losses = {name: crit(out, batch) for name, crit in criteria.items()}
+      total = sum(weights[name] * loss for name, loss in losses.items())
+      return total, (losses, out, new_bs)
+
+    (total, (losses, out, new_bs)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state['params'])
+    updates, opt_state = self.tx.update(grads, state['opt_state'],
+                                        state['params'])
+    params = optax.apply_updates(state['params'], updates)
+    new_state = {
+        'params': params,
+        'batch_stats': new_bs,
+        'opt_state': opt_state,
+        'step': state['step'] + 1,
+    }
+    losses = dict(losses)
+    losses['loss'] = total
+    return new_state, losses, out
+
+  def _make_train_step(self):
     # donate_argnums=0: the previous step's state buffers are reused for
     # the new state in place (params/opt-state never double-buffer in HBM)
-    from csmri_refinement_tpu.utils.compile_opts import (
-        training_compiler_options)
+    from csmri_refinement_tpu.utils.compile_opts import training_jit
 
-    @functools.partial(jax.jit, donate_argnums=0,
-                       compiler_options=training_compiler_options())
+    @functools.partial(training_jit, donate_argnums=0)
     def step(state, batch, rng):
-      def loss_fn(params):
-        out, new_bs = self._apply_model(params, state['batch_stats'],
-                                        batch, True, rng)
-        losses = {name: crit(out, batch) for name, crit in criteria.items()}
-        total = sum(weights[name] * loss for name, loss in losses.items())
-        return total, (losses, out, new_bs)
-
-      (total, (losses, out, new_bs)), grads = jax.value_and_grad(
-          loss_fn, has_aux=True)(state['params'])
-      updates, opt_state = self.tx.update(grads, state['opt_state'],
-                                          state['params'])
-      params = optax.apply_updates(state['params'], updates)
-      new_state = {
-          'params': params,
-          'batch_stats': new_bs,
-          'opt_state': opt_state,
-          'step': state['step'] + 1,
-      }
-      losses = dict(losses)
-      losses['loss'] = total
-      return new_state, losses, out
+      return self._train_step_impl(state, batch, rng)
 
     return step
+
+  def _get_scan_fn(self):
+    """k updates in ONE compiled lax.scan, losses averaged on device — one
+    host fetch per k steps instead of per step (see adversarial_runner
+    _get_scan_fn; same design, single-network state)."""
+    if self._scan_step_fn is None:
+      def scan_steps(state, batches, rngs):
+        def body(st, xs):
+          host_b, rng_pair = xs
+          batch = self.preparer.prepare_train(rng_pair[0], host_b)
+          st, losses, _ = self._train_step_impl(st, batch, rng_pair[1])
+          return st, losses
+        state, losses = jax.lax.scan(body, state, (batches, rngs))
+        mean_losses = {name: jnp.mean(vals) for name, vals in losses.items()}
+        return state, mean_losses
+
+      from csmri_refinement_tpu.utils.compile_opts import training_jit
+      self._scan_step_fn = training_jit(scan_steps, donate_argnums=0)
+    return self._scan_step_fn
+
+  def _run_scanned_updates(self, host_batches):
+    """Run len(host_batches) updates per host fetch (steps_per_fetch
+    throughput mode). Returns averaged loss metrics; per-step train
+    metrics/TB images are skipped by design."""
+    import numpy as np
+    k = len(host_batches)
+    # identical key stream to k calls of the per-step path — including the
+    # lazy init's own split after the first step's keys — so the scanned
+    # trajectory is bit-equal to the per-step one (tested)
+    self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
+    self._ensure_initialized(
+        self.preparer.prepare_train(prep_rng, host_batches[0]))
+    pairs = [jnp.stack([prep_rng, step_rng])]
+    for _ in range(k - 1):
+      self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
+      pairs.append(jnp.stack([prep_rng, step_rng]))
+    rngs = jnp.stack(pairs)
+    stacked = {key: np.stack([np.asarray(hb[key]) for hb in host_batches])
+               for key in host_batches[0]}
+    stacked = shard_stacked_batch(stacked, self.mesh)
+
+    scan_fn = self._get_scan_fn()
+    self.state, losses = scan_fn(self.state, stacked, rngs)
+    return {name: get_loss_metric(self._scalar(value))
+            for name, value in losses.items()}
 
   def _make_val_step(self):
     criteria = self.criteria
@@ -225,6 +282,19 @@ class Runner(BaseRunner):
   # -- BaseRunner hooks ---------------------------------------------------------
 
   def _train_step(self, batch_iter):
+    if (self.steps_per_fetch > 1
+        and getattr(self.preparer, 'device_pure', False)):
+      host_batches = []
+      for _ in range(self.steps_per_fetch):
+        host_batch = next(batch_iter, None)
+        if host_batch is None:
+          break
+        host_batches.append(host_batch)
+      if not host_batches:
+        return 0, None, None
+      loss_metrics = self._run_scanned_updates(host_batches)
+      return len(host_batches), loss_metrics, None
+
     host_batch = next(batch_iter, None)
     if host_batch is None:
       return 0, None, None
@@ -257,6 +327,8 @@ class Runner(BaseRunner):
             for name, fn in metric_fns.items()}
 
   def _compute_train_metrics(self, data):
+    if data is None:   # scanned throughput mode skips per-step train metrics
+      return {}
     batch, out = data
     return self._compute_metrics(self.train_metric_fns, out, batch)
 

@@ -100,6 +100,20 @@ def serving_jit(fn=None, *, image_size=None, **jit_kwargs):
   return _FallbackJit(fn, options, **jit_kwargs)
 
 
+def training_jit(fn, **jit_kwargs):
+  """`jax.jit` for TRAIN steps with the opt-in scoped-VMEM option applied
+  failure-safely (first call retries option-free on JaxRuntimeError).
+
+  Safe with donated buffers: a rejected compiler option fails at compile
+  time, before donation consumes the arguments.
+  """
+  import jax
+  options = training_compiler_options()
+  if options is None:
+    return jax.jit(fn, **jit_kwargs)
+  return _FallbackJit(fn, options, **jit_kwargs)
+
+
 def training_compiler_options():
   """Opt-in scoped-VMEM override for TRAIN steps.
 

@@ -55,6 +55,18 @@ EXTENDED = [
      dict(_BEST, xla_tpu_copy_with_multiple_users_elision='false')),
     ('best+aggressive_fusion',
      dict(_BEST, xla_tpu_enable_aggressive_loop_fusion_layout_opt='true')),
+    # Round-2 confirmation basket: the three first-pass candidates that
+    # cleared the noise floor, re-measured alone and stacked.
+    ('best_again', dict(_BEST)),
+    ('best+store512_again',
+     dict(_BEST, xla_tpu_vector_store_fusion_window='512')),
+    ('best+combo3',
+     dict(_BEST, xla_tpu_vector_store_fusion_window='512',
+          xla_tpu_enable_aggressive_loop_fusion_layout_opt='true',
+          xla_tpu_use_bundle_aware_cost_model_for_fusions='false')),
+    ('best+store512+aggressive',
+     dict(_BEST, xla_tpu_vector_store_fusion_window='512',
+          xla_tpu_enable_aggressive_loop_fusion_layout_opt='true')),
 ]
 
 
@@ -67,6 +79,10 @@ def main(argv):
   parser.add_argument('--extended', action='store_true',
                       help='sweep the stacked candidate basket on top of '
                            'the shipped scoped-VMEM optimum')
+  parser.add_argument('--only', nargs='*', default=None,
+                      help='run only options whose name contains any of '
+                           'these substrings (chunked sweeps under the '
+                           'relay compile latency)')
   args = parser.parse_args(argv)
 
   import jax
@@ -98,7 +114,10 @@ def main(argv):
     elapsed = time.perf_counter() - start
     return args.batch * args.iters / max(elapsed - base, 1e-9)
 
-  for name, options in (EXTENDED if args.extended else SWEEP):
+  rows = EXTENDED if args.extended else SWEEP
+  if args.only:
+    rows = [(n, o) for n, o in rows if any(s in n for s in args.only)]
+  for name, options in rows:
     try:
       rate = run_with(options)
       print(json.dumps({'option': name, 'slices_per_sec': round(rate, 1)}),
