@@ -98,6 +98,28 @@ def parent_main(argv, args):
       child.kill()
     except Exception:
       pass
+    # Salvage anything the child already emitted but we haven't drained:
+    # a headline sitting in the queue at deadline time is still a valid
+    # record ("unlosable" means deadline checks can't outrank it). The
+    # reader thread may still be flushing the killed child's buffered
+    # stdout into the queue, so wait (briefly, bounded) for its EOF
+    # sentinel instead of racing it with get_nowait.
+    drain_deadline = time.monotonic() + 2.0
+    while not state['headline']:
+      try:
+        line = lines.get(timeout=max(0.0,
+                                     drain_deadline - time.monotonic()))
+      except queue.Empty:
+        break
+      if line is None:
+        break
+      try:
+        msg = json.loads(line)
+      except ValueError:
+        continue
+      if msg.pop('_kind', None) == 'headline':
+        state['headline'] = True
+        emit(msg)
     if state['headline']:
       sys.exit(0)
     emit_error(error)
@@ -119,15 +141,21 @@ def parent_main(argv, args):
   preflight_ok = False
   try:
     while True:
-      now = time.monotonic()
-      if not preflight_ok and now - start > _PREFLIGHT_DEADLINE_S:
-        finish('backend_init_hang', 3)
-      if now - start > budget:
-        finish('budget_exceeded', 3)
+      # Drain anything already emitted BEFORE judging deadlines: a
+      # headline/marker sitting in the queue outranks a deadline that
+      # fires while it waits (unlosable-record contract).
       try:
-        line = lines.get(timeout=1.0)
+        line = lines.get_nowait()
       except queue.Empty:
-        continue
+        now = time.monotonic()
+        if not preflight_ok and now - start > _PREFLIGHT_DEADLINE_S:
+          finish('backend_init_hang', 3)
+        if now - start > budget:
+          finish('budget_exceeded', 3)
+        try:
+          line = lines.get(timeout=1.0)
+        except queue.Empty:
+          continue
       if line is None:  # child stdout EOF
         rc = child.wait()
         if state['headline']:
@@ -559,8 +587,7 @@ def child_main(args):
     try:
       extra = run_bench(max(args.batch_size, 8), size, args.iters,
                         args.warmup, dtype, fused_conv=args.fused_conv)
-      row = {'metric': '{s}x{s} recon slices/sec/chip (cascade+refine '
-                       'inference, {d} compute)'.format(s=size, d=dtype),
+      row = {'metric': _metric_name(size, dtype),
              'value': round(extra, 1), 'unit': 'slices/s'}
     except Exception as e:
       row = {'metric': '{s}x{s} recon slices/sec/chip'.format(s=size),

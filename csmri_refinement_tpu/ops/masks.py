@@ -372,7 +372,10 @@ def cartesian_mask(key, shape, acc, sample_n=CARTESIAN_CENTRAL_LINES,
   # non-integer accelerations (e.g. 256//3.2 → 80 in f32 vs 79 in f64) and
   # is kept only for traced per-example accelerations (variable
   # acceleration), where the skinny DC never applies.
-  static_acc = isinstance(acc, (int, float)) or (
+  # numpy generics (np.float32(3.2)) are neither Python floats nor
+  # ndarrays — include them, or they silently ride the f32 traced path
+  # and can disagree with the host gate again.
+  static_acc = isinstance(acc, (int, float, np.integer, np.floating)) or (
       isinstance(acc, np.ndarray) and acc.ndim == 0)
   if static_acc:
     pdf_count = cartesian_num_lines(nx, acc, sample_n) - (sample_n or 0)

@@ -59,8 +59,13 @@ def mesh_from_conf(conf):
   data-parallel groups. ``{"data": N, "spatial": S}`` uses N*S devices
   with image rows sharded S-way inside each data-parallel group.
   """
+  from csmri_refinement_tpu.ops import dc
   mesh_conf = conf.get_attr('mesh', default=None)
   if not mesh_conf:
+    # Clear the process-global spatial-DC flag even on the no-mesh path:
+    # a prior spatial-mesh runner in the same process must not leak its
+    # forced GEMM DC lowering into this mesh-less runner (ADVICE r3).
+    dc.set_spatial_mesh(False)
     return None
   spatial = int(mesh_conf.get(SPATIAL_AXIS, 1) or 1)
   n = mesh_conf.get(DATA_AXIS, -1)
@@ -72,7 +77,6 @@ def mesh_from_conf(conf):
   # FFT HLOs cannot be partitioned over image rows on XLA:CPU; the GEMM
   # DC lowering shards cleanly on every backend. Set unconditionally so a
   # later 1-D mesh in the same process clears the flag (ADVICE r3).
-  from csmri_refinement_tpu.ops import dc
   dc.set_spatial_mesh(spatial > 1)
   if spatial > 1:
     logging.info('Using %dx%d data x spatial device mesh',

@@ -510,12 +510,8 @@ class AdversarialRunner(BaseRunner):
     if self.gen_updates_per_step == 1 and self.disc_updates_per_step == 1:
       if (self.steps_per_fetch > 1 and self.generator_enabled
           and getattr(self.preparer, 'device_pure', False)):
-        host_batches = []
-        for _ in range(self.steps_per_fetch):
-          host_batch = next(batch_iter, None)
-          if host_batch is None:
-            break
-          host_batches.append(host_batch)
+        host_batches = self._collect_stackable_batches(batch_iter,
+                                                       self.steps_per_fetch)
         if not host_batches:
           return 0, None, None
         loss_metrics = self._run_scanned_updates(host_batches)

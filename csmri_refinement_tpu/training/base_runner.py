@@ -29,6 +29,35 @@ class BaseRunner:
     self.conf = conf
     self.mode = mode
     self.epoch = 0
+    # Ragged batch held back by _collect_stackable_batches for the next
+    # _train_step call (steps_per_fetch mode; loaders default to
+    # drop_last=False, so a short final batch is routine).
+    self._pending_host_batch = None
+
+  def _collect_stackable_batches(self, batch_iter, k):
+    """Pull up to k host batches with EQUAL leading dims (np.stack-able
+    for the steps_per_fetch scan). A batch whose size differs from the
+    chunk's first is held back and returned alone on the next call —
+    never dropped, never crashing the stack."""
+
+    def _batch_len(hb):
+      return len(next(iter(hb.values())))
+
+    host_batches = []
+    while len(host_batches) < k:
+      if self._pending_host_batch is not None:
+        host_batch = self._pending_host_batch
+        self._pending_host_batch = None
+      else:
+        host_batch = next(batch_iter, None)
+      if host_batch is None:
+        break
+      if host_batches and _batch_len(host_batch) != \
+          _batch_len(host_batches[0]):
+        self._pending_host_batch = host_batch
+        break
+      host_batches.append(host_batch)
+    return host_batches
 
   # -- subclass hooks ---------------------------------------------------------
 

@@ -259,7 +259,10 @@ class Runner(BaseRunner):
 
     scan_fn = self._get_scan_fn()
     self.state, losses = scan_fn(self.state, stacked, rngs)
-    return {name: get_loss_metric(self._scalar(value))
+    # Same metric names as the per-step path: criterion losses carry the
+    # 'loss_' prefix, the weighted total stays 'loss' (TB log continuity).
+    return {('loss' if name == 'loss' else 'loss_' + name):
+            get_loss_metric(self._scalar(value))
             for name, value in losses.items()}
 
   def _make_val_step(self):
@@ -284,12 +287,8 @@ class Runner(BaseRunner):
   def _train_step(self, batch_iter):
     if (self.steps_per_fetch > 1
         and getattr(self.preparer, 'device_pure', False)):
-      host_batches = []
-      for _ in range(self.steps_per_fetch):
-        host_batch = next(batch_iter, None)
-        if host_batch is None:
-          break
-        host_batches.append(host_batch)
+      host_batches = self._collect_stackable_batches(batch_iter,
+                                                     self.steps_per_fetch)
       if not host_batches:
         return 0, None, None
       loss_metrics = self._run_scanned_updates(host_batches)

@@ -46,40 +46,57 @@ def serving_compiler_options(image_size=None):
 
 
 class _FallbackJit:
-  """A jitted callable that retries its first call without compiler options.
+  """A jitted callable that drops rejected compiler options, failure-safely.
 
   The scoped-VMEM serving option is load-bearing on every val/predict jit;
   if a relay/libtpu build rejects the per-jit `compiler_options` (one
-  hypothesis for the round-3 driver-time RuntimeError), evaluation must
-  degrade to the plain jit — slightly slower — instead of dying. Only the
-  first call is guarded (compilation happens there); afterwards calls
-  delegate directly.
+  hypothesis for the round-3 driver-time RuntimeError; the relay was later
+  observed 500-ing other options), evaluation must degrade to the plain
+  jit — slightly slower — instead of dying.
+
+  Rejection is detected by compiling a TRIVIAL probe with the same options
+  before the first real call: option rejection does not depend on the
+  program, the probe compile is cheap, and — critically — the real
+  program's own runtime errors (e.g. RESOURCE_EXHAUSTED after donated
+  buffers were consumed) are never caught or retried, so they surface
+  as themselves rather than as a misleading donation error.
   """
 
   def __init__(self, fn, options, **jit_kwargs):
     import jax
     self._fn = fn
     self._jit_kwargs = jit_kwargs
+    self._options = options
     self._active = jax.jit(fn, compiler_options=options, **jit_kwargs)
     self._guarded = options is not None
 
-  def __call__(self, *args, **kwargs):
-    if not self._guarded:
-      return self._active(*args, **kwargs)
+  def _options_rejected(self):
+    """Compile+run a trivial jit with the same compiler options; returns
+    the exception if the backend rejects them, else None."""
     import jax
+    import jax.numpy as jnp
     try:
-      out = self._active(*args, **kwargs)
-      self._guarded = False
-      return out
+      probe = jax.jit(lambda x: (x + 1.0).sum(),
+                      compiler_options=self._options)
+      float(probe(jnp.zeros((8, 128), jnp.float32)))  # f32 scalar fetch
+      return None
     except jax.errors.JaxRuntimeError as e:
-      import logging
-      logging.getLogger(__name__).error(
-          'serving compiler_options rejected at first compile (%s: %s); '
-          'retrying WITHOUT compiler options — set '
-          'CSMRI_TPU_SCOPED_VMEM_KIB=0 to silence', type(e).__name__, e)
-      self._active = jax.jit(self._fn, **self._jit_kwargs)
+      return e
+
+  def __call__(self, *args, **kwargs):
+    if self._guarded:
       self._guarded = False
-      return self._active(*args, **kwargs)
+      import jax
+      err = self._options_rejected()
+      if err is not None:
+        import logging
+        logging.getLogger(__name__).error(
+            'compiler_options rejected by the backend (%s: %s); '
+            'proceeding WITHOUT compiler options — set '
+            'CSMRI_TPU_SCOPED_VMEM_KIB=0 to silence',
+            type(err).__name__, err)
+        self._active = jax.jit(self._fn, **self._jit_kwargs)
+    return self._active(*args, **kwargs)
 
 
 def serving_jit(fn=None, *, image_size=None, **jit_kwargs):
@@ -102,10 +119,12 @@ def serving_jit(fn=None, *, image_size=None, **jit_kwargs):
 
 def training_jit(fn, **jit_kwargs):
   """`jax.jit` for TRAIN steps with the opt-in scoped-VMEM option applied
-  failure-safely (first call retries option-free on JaxRuntimeError).
+  failure-safely (option rejection detected by a trivial probe compile
+  before the first real call — see _FallbackJit).
 
-  Safe with donated buffers: a rejected compiler option fails at compile
-  time, before donation consumes the arguments.
+  Safe with donated buffers: the probe carries the option-rejection risk;
+  the real step's own runtime errors propagate un-retried, so donated
+  arguments are never re-used after a failed execution.
   """
   import jax
   options = training_compiler_options()

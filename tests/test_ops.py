@@ -119,7 +119,10 @@ def test_cartesian_mask_line_count_matches_skinny_gate_fractional_acc():
   an f32 floor-divide gives 256//3.2 == 80 while the reference f64
   arithmetic gives 79, silently dropping one restored k-space row."""
   from csmri_refinement_tpu.ops import dc as dc_ops
-  for h, acc in [(256, 3.2), (256, 6.4), (128, 2.56), (64, 4.0), (64, 3.2)]:
+  # np.float32 covers the numpy-generic case: it is neither a Python
+  # float nor an ndarray, and must still take the static host-count path.
+  for h, acc in [(256, 3.2), (256, 6.4), (128, 2.56), (64, 4.0), (64, 3.2),
+                 (256, np.float32(3.2)), (64, np.float32(3.2))]:
     mask = np.asarray(mask_ops.cartesian_mask(
         jax.random.PRNGKey(5), (4, h, h), acc, sample_n=8, centred=True))
     lines = mask[:, :, 0].sum(axis=1)

@@ -225,3 +225,19 @@ def test_steps_per_fetch_partial_final_chunk():
   losses, _ = runner.train_epoch(loader, 1, steps_per_train_summary=100)
   assert int(runner.state['step']) == 2
   assert all(np.isfinite(m.value) for m in losses.values())
+
+
+def test_steps_per_fetch_ragged_final_batch():
+  """drop_last=False loaders yield a short final batch; the scan chunker
+  must hold it back for its own (shorter) scan instead of crashing
+  np.stack — every sample trains exactly once."""
+  conf = _conf(steps_per_fetch=8,
+               synthetic={'image_size': 32, 'num_train': 10, 'num_val': 4})
+  runner = build_runner(conf, 'standard', 'train')
+  train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, 4, shuffle=False)  # batches 4, 4, 2
+  losses, _ = runner.train_epoch(loader, 1, steps_per_train_summary=100)
+  assert int(runner.state['step']) == 3
+  assert runner._pending_host_batch is None
+  assert all(np.isfinite(m.value) for m in losses.values())
+  assert 'loss' in losses and any(n.startswith('loss_') for n in losses)
