@@ -348,3 +348,19 @@ def test_steps_per_fetch_scan_matches_per_step_trajectory():
   np.testing.assert_allclose(np.asarray(runner_a.pool_state['images']),
                              np.asarray(runner_b.pool_state['images']),
                              atol=1e-5, rtol=1e-5)
+
+
+def test_steps_per_fetch_ragged_final_batch():
+  """drop_last=False loaders yield a short final batch; the adversarial
+  scan chunker must hold it back for its own (shorter) scan instead of
+  crashing np.stack — every sample trains exactly once (D and G)."""
+  conf = _conf(steps_per_fetch=8,
+               synthetic={'image_size': 32, 'num_train': 10, 'num_val': 4})
+  runner = build_runner(conf, 'adversarial', 'train')
+  train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, 4, shuffle=False)  # batches 4, 4, 2
+  losses, _ = runner.train_epoch(loader, 1, steps_per_train_summary=100)
+  assert int(runner.gen_state['step']) == 3
+  assert int(runner.disc_state['step']) == 3
+  assert runner._pending_host_batch is None
+  assert all(np.isfinite(m.value) for m in losses.values())
