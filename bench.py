@@ -286,11 +286,12 @@ def run_bench(batch_size, image_size, iters, warmup, dtype_str,
   assert val == val, 'NaN benchmark output'
   float(bench_loop(variables, *args, n=warmup + iters))
 
-  # Two timed passes, best rate kept: relay dispatch jitter only ever
-  # slows a pass down, so max-of-2 tightens the downward noise (~2%
-  # session scatter observed round 4) at ~10 s extra cost.
+  # Several timed passes, best rate kept: relay dispatch jitter only ever
+  # slows a pass down, so max-of-N tightens the downward noise (~2%
+  # session scatter observed round 4) at ~5 s per extra pass — cheap
+  # against the watchdog budget.
   best = 0.0
-  for _ in range(2):
+  for _ in range(4):
     start = time.perf_counter()
     val = float(bench_loop(variables, *args, n=warmup))
     base = time.perf_counter() - start
