@@ -28,15 +28,31 @@ class DataLoader:
 
   def __init__(self, dataset, batch_size, shuffle=False, seed=0,
                num_workers=0, drop_last=False, prefetch=2,
-               num_samples=None):
+               num_samples=None, process_shard=None):
     """``num_samples`` limits to a subset (reference
-    maybe_get_subset_sampler, data/__init__.py:12-21)."""
+    maybe_get_subset_sampler, data/__init__.py:12-21).
+
+    ``process_shard=(rank, world)`` is the multi-process (multi-host) data
+    path: ``batch_size`` stays the GLOBAL batch size, the index stream
+    (shuffle order, epoch boundaries) is computed globally and identically
+    on every process (same ``seed``), and each process materializes only
+    its contiguous 1/world slice of every batch. Concatenating the slices
+    in rank order reproduces the single-process batch exactly — which is
+    what ``parallel.shard_batch`` assembles on device (rank r's devices
+    are rows r·(n/world)..(r+1)·(n/world) of the mesh's data axis)."""
     self.dataset = dataset
     self.batch_size = batch_size
     self.shuffle = shuffle
     self.num_workers = num_workers
     self.drop_last = drop_last
     self.prefetch = max(prefetch, 1)
+    self.process_shard = process_shard
+    if process_shard is not None:
+      rank, world = process_shard
+      assert 0 <= rank < world, process_shard
+      assert batch_size % world == 0, \
+          ('Global batch size {} must divide evenly over {} processes'
+           .format(batch_size, world))
     self._rng = np.random.RandomState(seed)
     if num_samples is not None and num_samples > 0:
       if num_samples > len(dataset):
@@ -50,6 +66,12 @@ class DataLoader:
     n = len(self._indices)
     if self.drop_last:
       return n // self.batch_size
+    if self.process_shard is not None:
+      # Ragged final batches shrink to a multiple of world (or drop when
+      # smaller than world) so every process holds an equal local slice.
+      world = self.process_shard[1]
+      full, rem = divmod(n, self.batch_size)
+      return full + (1 if rem >= world else 0)
     return -(-n // self.batch_size)
 
   def _batch_indices(self):
@@ -60,6 +82,14 @@ class DataLoader:
       chunk = indices[start:start + self.batch_size]
       if self.drop_last and len(chunk) < self.batch_size:
         return
+      if self.process_shard is not None:
+        rank, world = self.process_shard
+        per = len(chunk) // world
+        if per == 0:
+          return  # final ragged batch smaller than the process count
+        # Equal contiguous slices in rank order (== single-process batch
+        # order after the on-device concat over the mesh's data axis).
+        chunk = chunk[rank * per:(rank + 1) * per]
       yield chunk
 
   def _make_batch(self, idx_chunk, pool):

@@ -15,6 +15,18 @@ import logging
 import os
 
 
+def _cpu_platform_requested():
+  """True when this process will run on the CPU backend (explicit
+  JAX_PLATFORMS=cpu env or jax_platforms config)."""
+  import jax
+  platforms = os.environ.get('JAX_PLATFORMS', '')
+  try:
+    platforms = jax.config.jax_platforms or platforms
+  except AttributeError:
+    pass
+  return (platforms or '').split(',')[0].strip() == 'cpu'
+
+
 def initialize(conf=None):
   """Initialize jax.distributed from config or environment; safe no-op
   when single-host."""
@@ -42,6 +54,16 @@ def initialize(conf=None):
     kwargs['num_processes'] = int(num_processes)
   if process_id is not None:
     kwargs['process_id'] = int(process_id)
+
+  # XLA:CPU's cross-process collectives need the gloo transport selected
+  # before backend init (TPU/GPU pods bring their own ICI/DCN transport).
+  # This is what lets the multi-process path run — and be integration-
+  # tested — on a CPU-only host (tests/test_distributed.py).
+  if _cpu_platform_requested():
+    try:
+      jax.config.update('jax_cpu_collectives_implementation', 'gloo')
+    except Exception:  # older jaxlib without the option: leave default
+      logging.warning('Could not select gloo CPU collectives')
 
   jax.distributed.initialize(**kwargs)
   logging.info('jax.distributed initialized: process %s/%s, %d local / %d '

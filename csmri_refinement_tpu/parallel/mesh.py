@@ -86,6 +86,31 @@ def mesh_from_conf(conf):
   return mesh
 
 
+def multiprocess():
+  """True in a multi-controller run (jax.distributed initialized with more
+  than one process) — the mesh then spans devices this process cannot
+  address, and host data must enter through
+  ``jax.make_array_from_process_local_data``."""
+  return jax.process_count() > 1
+
+
+def _put(x, mesh, spec):
+  """Place one leaf under a NamedSharding, multi-process aware.
+
+  Single-process: plain ``jax.device_put``. Multi-process: host values are
+  this process's *local* portion of the global array (e.g. the local batch
+  slice from ``DataLoader(process_shard=...)``) and are lifted with
+  ``make_array_from_process_local_data``; arrays that are already global
+  (jit outputs) are resharded with ``device_put``, which is legal for
+  committed global arrays."""
+  sharding = NamedSharding(mesh, spec)
+  if multiprocess():
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+      return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+  return jax.device_put(x, sharding)
+
+
 def _batch_spec(x, mesh, lead=()):
   """PartitionSpec for one batch leaf: batch axis over ``data``; the H
   axis of image-like leaves (ndim >= 3 after the lead axes) additionally
@@ -101,12 +126,13 @@ def _batch_spec(x, mesh, lead=()):
 
 def shard_batch(batch, mesh):
   """Place a batch pytree with the leading axis sharded over ``data`` (and
-  image rows over ``spatial`` on a 2-D mesh)."""
+  image rows over ``spatial`` on a 2-D mesh). In a multi-process run the
+  input leaves are the process-local batch slice; the result is the global
+  batch."""
   if mesh is None:
     return batch
   return jax.tree_util.tree_map(
-      lambda x: jax.device_put(x, NamedSharding(mesh, _batch_spec(x, mesh))),
-      batch)
+      lambda x: _put(x, mesh, _batch_spec(x, mesh)), batch)
 
 
 def shard_stacked_batch(batch, mesh):
@@ -116,16 +142,30 @@ def shard_stacked_batch(batch, mesh):
   if mesh is None:
     return batch
   return jax.tree_util.tree_map(
-      lambda x: jax.device_put(
-          x, NamedSharding(mesh, _batch_spec(x, mesh, lead=(None,)))),
-      batch)
+      lambda x: _put(x, mesh, _batch_spec(x, mesh, lead=(None,))), batch)
 
 
 def replicate(tree, mesh):
-  """Replicate a pytree (params/opt state) across the mesh."""
+  """Replicate a pytree (params/opt state) across the mesh. Multi-process:
+  every process supplies its (identical) local copy — seeds make model
+  init deterministic across processes, and checkpoint restores load the
+  same host values everywhere."""
   if mesh is None:
     return tree
-  sharding = NamedSharding(mesh, P())
   return jax.tree_util.tree_map(
-      lambda x: jax.device_put(x, sharding) if hasattr(x, 'shape') else x,
-      tree)
+      lambda x: _put(x, mesh, P()) if hasattr(x, 'shape') else x, tree)
+
+
+def gather_to_replicated(tree, mesh):
+  """All-gather data-sharded leaves to fully-replicated — required before
+  host fetches (metrics, image dumps) in a multi-process run, where a
+  data-sharded global array is not addressable from any single process.
+  No-op single-process (every sharding is fully addressable there)."""
+  if mesh is None or not multiprocess():
+    return tree
+  sharding = NamedSharding(mesh, P())
+  leaves, treedef = jax.tree_util.tree_flatten(tree)
+  gathered = jax.jit(
+      lambda *ls: ls,
+      out_shardings=tuple(sharding for _ in leaves))(*leaves)
+  return jax.tree_util.tree_unflatten(treedef, gathered)

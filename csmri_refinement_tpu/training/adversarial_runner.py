@@ -491,6 +491,7 @@ class AdversarialRunner(BaseRunner):
     return loss_metrics
 
   def _run_one_update(self, host_batch, update_gen, update_disc):
+    host_batch = self._preshard_host_batch(host_batch)
     self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
     batch = self.preparer.prepare_train(prep_rng, host_batch)
     self._ensure_initialized(batch)
@@ -578,11 +579,17 @@ class AdversarialRunner(BaseRunner):
     return out_gen, out_disc_fake, out_disc_real, losses
 
   def _val_step(self, host_batch, compute_metrics=True):
+    host_batch = self._preshard_host_batch(host_batch)
     batch = self.preparer.prepare_val(host_batch)
     self._ensure_initialized(batch)
     batch = shard_batch(batch, self.mesh)
     out_gen, out_disc_fake, out_disc_real, losses = self._val_step_fn(
         self.gen_state, self.disc_state, batch)
+    # Multi-process: host fetches (metrics/images) need fully-replicated
+    # leaves — no-op otherwise.
+    from csmri_refinement_tpu.parallel import gather_to_replicated
+    batch, out_gen, out_disc_fake, out_disc_real = gather_to_replicated(
+        (batch, out_gen, out_disc_fake, out_disc_real), self.mesh)
     loss_metrics = {}
     if compute_metrics:
       loss_metrics = {'gen_loss_' + name: get_loss_metric(

@@ -59,6 +59,22 @@ class BaseRunner:
       host_batches.append(host_batch)
     return host_batches
 
+  def _preshard_host_batch(self, host_batch):
+    """Multi-process (multi-controller) mesh runs lift the process-local
+    host batch to the GLOBAL array before the on-device forward model, so
+    per-example mask keys stay positional over the global batch and the
+    training trajectory matches a single-process run exactly. Single
+    process (or no mesh): returns the batch unchanged — the usual
+    prepare-then-shard order applies."""
+    mesh = getattr(self, 'mesh', None)
+    from csmri_refinement_tpu.parallel import multiprocess, shard_batch
+    if mesh is None or not multiprocess():
+      return host_batch
+    assert getattr(self.preparer, 'device_pure', True), \
+        ('Multi-process training needs a jit-pure batch preparer '
+         '(host-side radial mask generation cannot span processes)')
+    return shard_batch(host_batch, mesh)
+
   # -- subclass hooks ---------------------------------------------------------
 
   def _train_step(self, batch_iter):

@@ -297,6 +297,7 @@ class Runner(BaseRunner):
     host_batch = next(batch_iter, None)
     if host_batch is None:
       return 0, None, None
+    host_batch = self._preshard_host_batch(host_batch)
     self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
     batch = self.preparer.prepare_train(prep_rng, host_batch)
     self._ensure_initialized(batch)
@@ -310,11 +311,17 @@ class Runner(BaseRunner):
     return 1, loss_metrics, (batch, out)
 
   def _val_step(self, host_batch, compute_metrics=True):
+    host_batch = self._preshard_host_batch(host_batch)
     batch = self.preparer.prepare_val(host_batch)
     self._ensure_initialized(batch)
     batch = shard_batch(batch, self.mesh)
 
     out, losses = self._val_step_fn(self.state, batch)
+    # Multi-process: metric/image host fetches need fully-replicated
+    # leaves (a data-sharded global array is not addressable from one
+    # process) — no-op otherwise.
+    from csmri_refinement_tpu.parallel import gather_to_replicated
+    batch, out = gather_to_replicated((batch, out), self.mesh)
     loss_metrics = {}
     if compute_metrics:
       loss_metrics = {'loss_' + name: get_loss_metric(self._scalar(value))

@@ -82,7 +82,16 @@ def set_platform(platform):
     jax.config.update('jax_platforms', platform)
 
 
+def _is_writer_process():
+  """Checkpoint/summary writes happen on process 0 only — state is
+  replicated, so one copy is the correct multi-host semantic."""
+  import jax
+  return jax.process_index() == 0
+
+
 def save_periodic_checkpoint(conf, runner, epoch, best_val_metrics):
+  if not _is_writer_process():
+    return
   path = get_periodic_checkpoint_path(conf.run_dir, epoch)
   if not os.path.isdir(os.path.dirname(path)):
     logging.warning('Skip saving periodic checkpoint: %s does not exist',
@@ -97,6 +106,8 @@ def save_periodic_checkpoint(conf, runner, epoch, best_val_metrics):
 
 def save_best_checkpoint(best_dir, best_val, conf, runner, epoch,
                          best_val_metrics):
+  if not _is_writer_process():
+    return
   path = get_best_checkpoint_path(best_dir, epoch, best_val)
   if not os.path.isdir(os.path.dirname(path)):
     logging.warning('Skip saving best value checkpoint: %s does not exist',
@@ -361,7 +372,7 @@ def main(argv):
   use_tensorboard = conf.get_attr('use_tensorboard',
                                   default=DEFAULT_USE_TENSORBOARD)
   summary_writer = None
-  if use_tensorboard and not args.dry:
+  if use_tensorboard and not args.dry and _is_writer_process():
     try:
       from tensorboardX import SummaryWriter
       summary_writer = SummaryWriter(conf.run_dir)
@@ -375,13 +386,22 @@ def main(argv):
   num_val_samples = conf.get_attr('num_validation_subset_samples',
                                   default=None)
 
+  # Multi-process run: batch_size stays GLOBAL; every process computes the
+  # same index stream and materializes only its local slice per batch
+  # (data/loader.py process_shard contract).
+  import jax
+  process_shard = None
+  if jax.process_count() > 1:
+    process_shard = (jax.process_index(), jax.process_count())
+
   train_dataset_name = conf.get_attr('train_dataset', alternative='dataset')
   logging.info('Loading training dataset %s', train_dataset_name)
   train_dataset = load_dataset(conf, args.data_dir, train_dataset_name,
                                'train')
   train_loader = DataLoader(train_dataset, conf.batch_size, shuffle=True,
                             seed=conf.seed, num_workers=num_workers,
-                            num_samples=num_train_samples)
+                            num_samples=num_train_samples,
+                            process_shard=process_shard)
 
   val_dataset_name = conf.get_attr('validation_dataset',
                                    alternative='dataset')
@@ -390,7 +410,8 @@ def main(argv):
   val_loader = DataLoader(
       val_dataset,
       conf.get_attr('validation_batch_size', default=conf.batch_size),
-      shuffle=False, num_workers=num_workers, num_samples=num_val_samples)
+      shuffle=False, num_workers=num_workers, num_samples=num_val_samples,
+      process_shard=process_shard)
 
   # Per-metric best checkpoint dirs; config 2 uses best_checkpoint_metrics
   chkpt_metrics = conf.get_attr(
