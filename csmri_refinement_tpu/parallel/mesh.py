@@ -165,6 +165,8 @@ def gather_to_replicated(tree, mesh):
     return tree
   sharding = NamedSharding(mesh, P())
   leaves, treedef = jax.tree_util.tree_flatten(tree)
+  if not leaves:
+    return tree
   gathered = jax.jit(
       lambda *ls: ls,
       out_shardings=tuple(sharding for _ in leaves))(*leaves)

@@ -104,6 +104,10 @@ def main():
                else _adversarial_conf(cfg))
   if cfg.get('steps_per_fetch'):
     conf_dict['steps_per_fetch'] = cfg['steps_per_fetch']
+  if cfg.get('spatial'):
+    # 2-D data x spatial mesh; with world=2 the spatial shards stay inside
+    # each process (grid rows are contiguous device ids)
+    conf_dict['mesh'] = {'data': -1, 'spatial': cfg['spatial']}
   if cfg['world'] > 1:
     conf_dict['distributed'] = {
         'coordinator_address': '127.0.0.1:{}'.format(cfg['port']),

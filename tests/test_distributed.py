@@ -57,7 +57,8 @@ def _parse_result(out):
   raise AssertionError('no DISTRESULT line in child output:\n' + out[-3000:])
 
 
-def _run_world(world, runner, epochs=2, steps_per_fetch=None, timeout=600):
+def _run_world(world, runner, epochs=2, steps_per_fetch=None, spatial=None,
+               timeout=600):
   """Run the child across `world` processes; returns each rank's result."""
   port = _free_port()
   env = _child_env(8 // world)
@@ -65,7 +66,7 @@ def _run_world(world, runner, epochs=2, steps_per_fetch=None, timeout=600):
   for rank in range(world):
     cfg = {'repo': REPO, 'world': world, 'rank': rank, 'port': port,
            'runner': runner, 'epochs': epochs,
-           'steps_per_fetch': steps_per_fetch}
+           'steps_per_fetch': steps_per_fetch, 'spatial': spatial}
     procs.append(subprocess.Popen(
         [sys.executable, CHILD, json.dumps(cfg)], env=env, cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
@@ -124,6 +125,19 @@ def test_two_process_scanned_standard_training_matches_single_process():
   multi = _run_world(2, 'standard', steps_per_fetch=2)
   _assert_results_close(multi[0], multi[1], atol=1e-6)
   _assert_results_close(single, multi[0], atol=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_spatial_mesh_training_matches_single_process():
+  """2-D data x spatial mesh spanning two processes: image rows shard
+  inside each process (contiguous grid rows), batch halves split across
+  processes; GSPMD halo exchanges ride the in-process links, the gradient
+  all-reduce crosses gloo."""
+  single = _run_world(1, 'standard', spatial=2)[0]
+  multi = _run_world(2, 'standard', spatial=2)
+  _assert_results_close(multi[0], multi[1], atol=1e-6)
+  # halo-exchange reduction-order noise on top of the gloo all-reduce
+  _assert_results_close(single, multi[0], atol=1e-4)
 
 
 def test_loader_process_shard_slices_batches():
