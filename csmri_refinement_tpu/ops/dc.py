@@ -41,6 +41,13 @@ _FUSED_MODE = os.environ.get('CSMRI_TPU_FUSED_DC', 'auto')
 # uses the GEMM path anyway, so this only changes CPU/GPU mesh runs.
 _SPATIAL_MESH = False
 
+# Set by utils/export.py while tracing a jax.export serving artifact: the
+# artifact bakes ONE lowering for every target platform, and the GEMM
+# split-real path is the only DC lowering that is both the TPU-optimal
+# choice and platform-neutral (no complex dot_general, no FFT HLO, no
+# Pallas custom call).
+_FORCE_GEMM = False
+
 
 def set_spatial_mesh(active):
   """Declare that subsequent jitted steps run under a spatially-sharded
@@ -48,6 +55,13 @@ def set_spatial_mesh(active):
   backends."""
   global _SPATIAL_MESH
   _SPATIAL_MESH = bool(active)
+
+
+def force_gemm(active):
+  """Force the batched-GEMM split-real DC lowering regardless of backend
+  (multi-platform export; see module comment on ``_FORCE_GEMM``)."""
+  global _FORCE_GEMM
+  _FORCE_GEMM = bool(active)
 
 
 def _gemm_mode(h, w, noise_lvl):
@@ -61,7 +75,7 @@ def _gemm_mode(h, w, noise_lvl):
     return 'pallas' if h == w else None  # Pallas kernel is square-only
   if _FUSED_MODE == '0':
     return None
-  if _SPATIAL_MESH:
+  if _SPATIAL_MESH or _FORCE_GEMM:
     return 'einsum'
   if jax.default_backend() in ('cpu', 'gpu', 'cuda', 'rocm'):
     return None

@@ -692,6 +692,17 @@ class AdversarialRunner(BaseRunner):
       self._predict_fn = serving_jit(_predict)
     return self._predict_fn(self.gen_state, batch)
 
+  def export_predict_parts(self):
+    """(pure generator predict fn, generator state, generator input keys)
+    for the jax.export serving artifact
+    (:mod:`csmri_refinement_tpu.utils.export`)."""
+    def fn(state, b):
+      with jax.default_matmul_precision('high'):  # eval fidelity
+        return self._apply_net(
+            self.gen, state['params'], state['batch_stats'],
+            self._gen_inputs(b), False, None, self.gen_has_train_arg)[0]
+    return fn, self.gen_state, list(self.gen_input_keys)
+
   def get_named_outputs(self, data):
     batch, out_gen = data[0], data[1]
     prediction = out_gen['pred'] if isinstance(out_gen, dict) else out_gen

@@ -353,6 +353,15 @@ class Runner(BaseRunner):
       self._predict_fn = serving_jit(_predict)
     return self._predict_fn(self.state, batch)
 
+  def export_predict_parts(self):
+    """(pure predict fn, its state, model input keys) for the jax.export
+    serving artifact (:mod:`csmri_refinement_tpu.utils.export`)."""
+    def fn(state, b):
+      with jax.default_matmul_precision('high'):  # see _make_val_step
+        return self._apply_model(state['params'], state['batch_stats'],
+                                 b, False, None)[0]
+    return fn, self.state, list(self.input_keys)
+
   # -- bookkeeping ---------------------------------------------------------------
 
   def epoch_beginning(self, epoch):

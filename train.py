@@ -36,6 +36,7 @@ from csmri_refinement_tpu.utils.checkpoints import (prune_checkpoints,
 from csmri_refinement_tpu.utils.checkpoint_paths import (
     get_best_checkpoint_path, get_config_path, get_periodic_checkpoint_path,
     get_run_dir)
+from csmri_refinement_tpu.utils import preemption
 from csmri_refinement_tpu.utils.config import Configuration
 from csmri_refinement_tpu.utils.logging import setup_logging
 from csmri_refinement_tpu.utils.diagnostics import print_model_parameters
@@ -293,8 +294,17 @@ def train_net(conf, runner, train_loader, val_loader, chkpt_metric_dirs=None,
                      chkpt_metric_dirs, summary_writer,
                      num_batches_per_epoch, early_stoppers)
 
-    if epoch % epochs_per_checkpoint == 0 or epoch == conf.num_epochs:
+    saved_this_epoch = (epoch % epochs_per_checkpoint == 0
+                        or epoch == conf.num_epochs)
+    if saved_this_epoch:
       save_periodic_checkpoint(conf, runner, epoch + 1, best_val_metrics)
+
+    if preemption.requested():
+      logging.info('Preemption: stopping after epoch %d (resume with '
+                   '--resume to continue at epoch %d)', epoch, epoch + 1)
+      if not saved_this_epoch:
+        save_periodic_checkpoint(conf, runner, epoch + 1, best_val_metrics)
+      return
 
     for early_stopper in early_stoppers:
       if early_stopper.should_stop(epoch):
@@ -427,6 +437,10 @@ def main(argv):
 
   if args.print_parameters:
     print_model_parameters(runner)
+
+  # SIGTERM (preemption notice) → checkpoint at the epoch boundary → clean
+  # exit; resume with --resume (utils/preemption.py)
+  preemption.install()
 
   logging.info('Starting training run of %s epochs', conf.num_epochs)
   from csmri_refinement_tpu.utils.profiling import trace
