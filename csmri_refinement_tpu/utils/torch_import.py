@@ -350,8 +350,16 @@ def load_torch_state_dict(path):
 def convert_reference_checkpoint(torch_path, out_path, model_specs):
   """Convert a reference training checkpoint file to our format.
 
-  ``model_specs``: {runner_key: ('recnet'|'unet'|'discriminator', kwargs)}
+  ``model_specs``: {runner_key: (kind, kwargs)} with kind one of
+  ``'recnet'|'unet'|'discriminator'|'refinement_wrapper'``,
   e.g. {'model': ('recnet', {'num_blocks': 3, 'num_convs': 3})}.
+
+  Runner keys absent from the torch file are skipped (deployed reference
+  checkpoints carry only the model/generator subtree,
+  /root/reference/utils/checkpoints.py:44-62). Optimizer state is never
+  converted — torch Adam moments do not map onto optax pytrees; resumed
+  training restarts its optimizer, matching a fresh ``--resume`` after
+  deploy.
   """
   from csmri_refinement_tpu.utils.checkpoints import save_raw_checkpoint
 
@@ -361,9 +369,14 @@ def convert_reference_checkpoint(torch_path, out_path, model_specs):
       'recnet': convert_recnet,
       'unet': convert_unet,
       'discriminator': convert_discriminator,
+      'refinement_wrapper': convert_refinement_wrapper,
   }
   out_runner = {}
   for key, (kind, kwargs) in model_specs.items():
+    if key not in runner_state:
+      print('torch_import: runner key {!r} not in checkpoint '
+            '(deployed/stripped file?) — skipped'.format(key))
+      continue
     out_runner[key] = converters[kind](runner_state[key], **kwargs)
 
   out = {'conf': {}, 'runner': out_runner,
@@ -372,16 +385,113 @@ def convert_reference_checkpoint(torch_path, out_path, model_specs):
   return out
 
 
-if __name__ == '__main__':
+def _unet_convert_kwargs(section):
+  """convert_unet kwargs from a UNET model-config section (dict)."""
+  return {
+      'num_layers_per_scale': section['num_layers_per_scale'],
+      'encode_filters': section['encode_filters'],
+      'decode_filters': section['decode_filters'],
+      'use_bn': section.get('use_bn', True),
+      'upsampling_mode': section.get('upsampling_mode', 'transposed'),
+      'decoder_act_upsampling_only':
+          section.get('decoder_act_upsampling_only', False),
+  }
+
+
+def _spec_from_model_section(section, fc_spatial_shape=None):
+  """(kind, kwargs) for one model-config section (dict with 'name')."""
+  name = section.get('name', 'CNNDiscriminator')
+  if name == 'RecNet':
+    return ('recnet', {'num_blocks': section['num_blocks'],
+                       'num_convs': section['num_convs']})
+  if name == 'UNET':
+    return ('unet', _unet_convert_kwargs(section))
+  if name == 'RefinementWrapper':
+    pre = section['pretrained_model']
+    learn = section['learnable_model']
+    if pre.get('name') != 'RecNet' or learn.get('name') != 'UNET':
+      raise ValueError('Only RecNet+UNET RefinementWrapper checkpoints are '
+                       'convertible (got {}/{})'.format(pre.get('name'),
+                                                        learn.get('name')))
+    return ('refinement_wrapper', {
+        'recnet_kwargs': {'num_blocks': pre['num_blocks'],
+                          'num_convs': pre['num_convs']},
+        'unet_kwargs': _unet_convert_kwargs(learn),
+    })
+  if name == 'CNNDiscriminator':
+    kwargs = {
+        'num_filters_per_layer': section['num_filters_per_layer'],
+        'use_norm_layers': section.get('use_norm_layers', True),
+        'norm_layer': section.get('norm_layer', 'batch'),
+        'dropout_after': section.get('dropout_after', ()),
+        'fc_layers': section.get('fc_layers', ()),
+    }
+    if kwargs['fc_layers']:
+      if fc_spatial_shape is None:
+        raise ValueError(
+            'FC-head discriminators need --fc-spatial-shape H W (the conv '
+            'stack output shape; torch flattens CHW, flax flattens HWC)')
+      kwargs['conv_output_shape'] = tuple(fc_spatial_shape)
+    return ('discriminator', kwargs)
+  raise ValueError('No torch converter for model {!r}'.format(name))
+
+
+def specs_from_config(conf, fc_spatial_shape=None):
+  """Build ``convert_reference_checkpoint`` model_specs from a training
+  config, mirroring how the runners bind runner-state keys to model
+  sections (training/runner.py state_dict: 'model';
+  adversarial_runner: 'generator'/'discriminator' — same keys as the
+  reference's runner state dicts)."""
+  runner_type = conf.get_attr('runner_type', default='standard')
+  if runner_type == 'standard':
+    return {'model': _spec_from_model_section(conf.get_attr('model'))}
+  if runner_type == 'adversarial':
+    specs = {
+        'generator': _spec_from_model_section(
+            conf.get_attr('generator_model', alternative='model')),
+    }
+    disc = conf.get_attr('discriminator_model', default=None)
+    if disc is not None:
+      specs['discriminator'] = _spec_from_model_section(
+          dict(disc, name=disc.get('name', 'CNNDiscriminator')),
+          fc_spatial_shape=fc_spatial_shape)
+    return specs
+  raise ValueError('Unknown runner_type {!r}'.format(runner_type))
+
+
+def main(argv=None):
   import argparse
   parser = argparse.ArgumentParser(
       description='Convert reference torch weights to this framework')
   parser.add_argument('--vgg19', nargs=2, metavar=('IN_PTH', 'OUT_NPZ'),
                       help='Convert a torchvision vgg19 state dict to the '
                            'npz consumed by vgg_weights_path')
-  args = parser.parse_args()
+  parser.add_argument('--checkpoint', nargs=3,
+                      metavar=('CONFIG', 'IN_PTH', 'OUT_CKPT'),
+                      help='Convert a reference training/deployed '
+                           'checkpoint, deriving the model architecture '
+                           'from a training config JSON; the output loads '
+                           'with validate.py / --resume / '
+                           'pretrained_weights')
+  parser.add_argument('--fc-spatial-shape', nargs=2, type=int, default=None,
+                      metavar=('H', 'W'),
+                      help='Conv-stack output shape, required only for '
+                           'FC-head discriminators')
+  args = parser.parse_args(argv)
   if args.vgg19:
     keys = convert_vgg19(args.vgg19[0], args.vgg19[1])
     print('Wrote {} arrays to {}'.format(len(keys), args.vgg19[1]))
+  elif args.checkpoint:
+    from csmri_refinement_tpu.utils.config import Configuration
+    conf_path, in_path, out_path = args.checkpoint
+    conf = Configuration.from_json(conf_path)
+    specs = specs_from_config(conf, fc_spatial_shape=args.fc_spatial_shape)
+    out = convert_reference_checkpoint(in_path, out_path, specs)
+    print('Wrote {} (runner keys: {}, epoch {})'.format(
+        out_path, ', '.join(sorted(out['runner'])) or 'none', out['epoch']))
   else:
     parser.print_help()
+
+
+if __name__ == '__main__':
+  main()

@@ -229,3 +229,95 @@ def test_convert_reference_checkpoint_file(rng, tmp_path):
   assert 'block_0' in loaded['params']
   kernel = np.asarray(loaded['params']['block_0']['conv_0']['kernel'])
   assert kernel.shape == (3, 3, 2, 4)  # HWIO
+
+
+def test_checkpoint_cli_config_driven(rng, tmp_path):
+  """--checkpoint CONFIG IN OUT derives the architecture from the config
+  and writes a checkpoint validate.py can restore."""
+  import json
+
+  conf = {
+      'seed': 0,
+      'runner_type': 'standard',
+      'model': {'name': 'RecNet', 'num_blocks': 2, 'num_convs': 2,
+                'num_filters': 4},
+  }
+  conf_path = str(tmp_path / 'conf.json')
+  with open(conf_path, 'w') as f:
+    json.dump(conf, f)
+
+  sd = _recnet_state_dict(rng)
+  ckpt = {'conf': {'dummy': 1}, 'runner': {'model': sd, 'optimizer': {}},
+          'epoch': 3}
+  torch_path = str(tmp_path / 'ref.pth')
+  torch.save(ckpt, torch_path)
+
+  out_path = str(tmp_path / 'converted.ckpt')
+  torch_import.main(['--checkpoint', conf_path, torch_path, out_path])
+
+  from csmri_refinement_tpu.utils.checkpoints import load_model_state_dict
+  loaded = load_model_state_dict(out_path, 'model')
+  model = RecNet(num_blocks=2, num_convs=2, num_filters=4)
+  inp = jnp.zeros((1, 8, 8, 2))
+  variables = model.init(jax.random.PRNGKey(0), inp, inp,
+                         jnp.ones((1, 8, 8, 1)))
+  restored = serialization.from_state_dict(variables['params'],
+                                           loaded['params'])
+  out = model.apply({'params': restored}, inp, inp, jnp.ones((1, 8, 8, 1)))
+  assert out.shape == (1, 8, 8, 2)
+  # Converted conv_0 kernel must equal the torch OIHW weight transposed
+  w_torch = sd['conv_blocks.0.layers.1.weight'].numpy()
+  np.testing.assert_allclose(np.asarray(restored['block_0']['conv_0']
+                                        ['kernel']),
+                             w_torch.transpose(2, 3, 1, 0))
+
+
+def test_specs_from_flagship_config():
+  """The shipped flagship config maps to refinement_wrapper + discriminator
+  specs with the paper architecture."""
+  from csmri_refinement_tpu.utils.config import Configuration
+
+  conf = Configuration.from_json('configs/2-refinement.json')
+  specs = torch_import.specs_from_config(conf)
+  assert set(specs) == {'generator', 'discriminator'}
+  kind, kwargs = specs['generator']
+  assert kind == 'refinement_wrapper'
+  assert kwargs['recnet_kwargs'] == {'num_blocks': 3, 'num_convs': 3}
+  assert kwargs['unet_kwargs']['encode_filters'] == [32, 64, 128]
+  assert kwargs['unet_kwargs']['upsampling_mode'] == 'nn-resize-conv'
+  assert kwargs['unet_kwargs']['decoder_act_upsampling_only'] is True
+  kind, kwargs = specs['discriminator']
+  assert kind == 'discriminator'
+  assert kwargs['num_filters_per_layer'] == [64, 128, 256, 512, 1024, 1024]
+  assert not kwargs['fc_layers']
+
+
+def test_deployed_checkpoint_skips_missing_keys(rng, tmp_path, capsys):
+  """A deployed (generator-only) reference checkpoint converts without the
+  discriminator key present."""
+  import json
+
+  conf = {
+      'seed': 0,
+      'runner_type': 'adversarial',
+      'generator_model': {'name': 'RecNet', 'num_blocks': 2, 'num_convs': 2,
+                          'num_filters': 4},
+      'discriminator_model': {'num_inputs': 1,
+                              'num_filters_per_layer': [4, 8],
+                              'strides': [2, 2]},
+  }
+  conf_path = str(tmp_path / 'conf.json')
+  with open(conf_path, 'w') as f:
+    json.dump(conf, f)
+
+  sd = _recnet_state_dict(rng)
+  torch_path = str(tmp_path / 'deployed.pth')
+  torch.save({'runner': {'generator': sd}, 'epoch': 9}, torch_path)
+
+  out_path = str(tmp_path / 'converted.ckpt')
+  torch_import.main(['--checkpoint', conf_path, torch_path, out_path])
+  assert 'skipped' in capsys.readouterr().out
+
+  from csmri_refinement_tpu.utils.checkpoints import load_model_state_dict
+  loaded = load_model_state_dict(out_path, 'generator')
+  assert 'block_0' in loaded['params']
