@@ -112,7 +112,8 @@ def _get_vgg_criterion(conf, loss_name, target_key):
                      weights_path=conf.get_attr('vgg_weights_path'),
                      conf_path=conf.file,
                      allow_random_init=conf.get_attr('vgg_random_init',
-                                                     default=False))
+                                                     default=False),
+                     remat=conf.get_attr('train_remat', default=False))
   return CriterionWrapper(vgg_loss, target_key)
 
 

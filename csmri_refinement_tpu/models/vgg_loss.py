@@ -28,7 +28,8 @@ def _complex_to_rgb(x):
 
 class VGGLoss:
   def __init__(self, loss_name, blocks=-1, criterion='L1', weights=None,
-               weights_path=None, conf_path=None, allow_random_init=False):
+               weights_path=None, conf_path=None, allow_random_init=False,
+               remat=False):
     if loss_name != 'VGG19':
       raise ValueError('Unknown VGG loss {}'.format(loss_name))
 
@@ -42,6 +43,11 @@ class VGGLoss:
     self.vgg_params = load_vgg19_params(weights_path, conf_path,
                                         allow_random_init=allow_random_init)
     self.criterion = _CRITERIONS[criterion]
+    # train_remat: recompute the prediction branch's VGG activations in the
+    # backward instead of storing them (the VGG features dominate the GAN
+    # step's activation HBM at large batch; the target branch is
+    # stop-gradient'd so it stores nothing either way)
+    self.remat = remat
 
     if weights is not None:
       assert len(weights) == len(blocks)
@@ -60,8 +66,12 @@ class VGGLoss:
       target = jnp.clip((jax.lax.stop_gradient(target) + 1.0) / 2.0,
                         -1.0, 1.0)
 
-    pred_features = self.vgg.apply({'params': self.vgg_params}, prediction)
-    target_features = self.vgg.apply({'params': self.vgg_params}, target)
+    def features(x):
+      return self.vgg.apply({'params': self.vgg_params}, x)
+
+    pred_fn = jax.checkpoint(features) if self.remat else features
+    pred_features = pred_fn(prediction)
+    target_features = features(target)
 
     loss = 0.0
     for weight, pred_f, target_f in zip(self.weights, pred_features,

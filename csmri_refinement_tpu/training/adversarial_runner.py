@@ -153,6 +153,13 @@ class AdversarialRunner(BaseRunner):
       # NOTES.md round 3). Per-step TB loss logging coarsens to every k
       # steps; optimization trajectory is unchanged.
       self.steps_per_fetch = conf.get_attr('steps_per_fetch', default=1)
+      # HBM mode: jax.checkpoint the gen/disc (and VGG, criteria.py)
+      # forwards so the backward recomputes activations instead of storing
+      # them — trades ~1 extra forward of FLOPs for the activation HBM of
+      # the 5-network step (the un-remat'd step RESOURCE_EXHAUSTs at batch
+      # 64 @256² on a v5e — NOTES.md rounds 3-4). Exact: same math, same
+      # trajectory (equivalence-tested).
+      self.train_remat = conf.get_attr('train_remat', default=False)
 
       self.train_gen_metric_fns = {
           name: get_metric_fn(conf, name, 'train')
@@ -187,6 +194,7 @@ class AdversarialRunner(BaseRunner):
       self.gen_updates_per_step = 1
       self.disc_updates_per_step = 1
       self.steps_per_fetch = 1
+      self.train_remat = False
       self.train_gen_metric_fns = {}
       self.train_disc_metric_fns = {}
       self.val_disc_metric_fns = {}
@@ -318,6 +326,12 @@ class AdversarialRunner(BaseRunner):
 
     def disc_apply(params, bs, x, dropout_rng):
       return self._apply_net(self.disc, params, bs, [x], True, dropout_rng)
+
+    if self.train_remat:
+      # Recompute-in-backward (see __init__): both closures take only
+      # array pytrees, so jax.checkpoint wraps them directly
+      gen_forward = jax.checkpoint(gen_forward)
+      disc_apply = jax.checkpoint(disc_apply)
 
     # Detached generator output for the discriminator phase
     out_gen_d = jax.lax.stop_gradient(gen_forward(gen_state['params'])[0])

@@ -103,6 +103,10 @@ class Runner(BaseRunner):
       # 3); per-step TB loss logging coarsens to every k steps, the
       # optimization trajectory is unchanged (equivalence-tested).
       self.steps_per_fetch = conf.get_attr('steps_per_fetch', default=1)
+      # HBM mode: jax.checkpoint the model forward so the backward
+      # recomputes activations instead of storing them (exact math; see
+      # adversarial_runner.train_remat for the GAN-step rationale)
+      self.train_remat = conf.get_attr('train_remat', default=False)
       self._scan_step_fn = None
 
       self._train_step_fn = self._make_train_step()
@@ -112,6 +116,7 @@ class Runner(BaseRunner):
       self.tx = None
       self.lr_scheduler = None
       self.steps_per_fetch = 1
+      self.train_remat = False
 
     self._val_step_fn = self._make_val_step()
 
@@ -184,9 +189,14 @@ class Runner(BaseRunner):
     criteria = self.criteria
     weights = self.loss_weights
 
+    def forward(params):
+      return self._apply_model(params, state['batch_stats'], batch, True,
+                               rng)
+    if self.train_remat:
+      forward = jax.checkpoint(forward)
+
     def loss_fn(params):
-      out, new_bs = self._apply_model(params, state['batch_stats'],
-                                      batch, True, rng)
+      out, new_bs = forward(params)
       losses = {name: crit(out, batch) for name, crit in criteria.items()}
       total = sum(weights[name] * loss for name, loss in losses.items())
       return total, (losses, out, new_bs)

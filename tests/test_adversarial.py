@@ -364,3 +364,31 @@ def test_steps_per_fetch_ragged_final_batch():
   assert int(runner.disc_state['step']) == 3
   assert runner._pending_host_batch is None
   assert all(np.isfinite(m.value) for m in losses.values())
+
+
+def test_train_remat_matches_plain_trajectory():
+  """train_remat rematerializes the gen/disc/VGG forwards in the backward
+  (HBM-for-FLOPs; the plain 5-network step OOMs at batch 64 @256² on a
+  v5e). Exactness contract: identical trajectory to the plain step."""
+  conf_a = _conf()
+  runner_a = build_runner(conf_a, 'adversarial', 'train')
+  train_set = load_dataset(conf_a, '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, 4, shuffle=False)
+  runner_a.train_epoch(loader, 1, steps_per_train_summary=100)
+
+  conf_b = _conf(train_remat=True)
+  runner_b = build_runner(conf_b, 'adversarial', 'train')
+  assert runner_b.train_remat
+  assert runner_b.gen_criteria['VGG19'].criterion.remat
+  loader = DataLoader(train_set, 4, shuffle=False)
+  losses_b, _ = runner_b.train_epoch(loader, 1, steps_per_train_summary=100)
+  assert all(np.isfinite(m.value) for m in losses_b.values())
+
+  for tree_a, tree_b in ((runner_a.gen_state['params'],
+                          runner_b.gen_state['params']),
+                         (runner_a.disc_state['params'],
+                          runner_b.disc_state['params'])):
+    for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                    jax.tree_util.tree_leaves(tree_b)):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 atol=1e-6, rtol=1e-5)

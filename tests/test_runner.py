@@ -241,3 +241,24 @@ def test_steps_per_fetch_ragged_final_batch():
   assert runner._pending_host_batch is None
   assert all(np.isfinite(m.value) for m in losses.values())
   assert 'loss' in losses and any(n.startswith('loss_') for n in losses)
+
+
+def test_train_remat_matches_plain_trajectory():
+  """train_remat (jax.checkpoint'd forward) is an HBM knob, not a math
+  change: the rematerialized step must reproduce the plain trajectory to
+  float-noise tolerance (only XLA's schedule differs)."""
+  runner_a = build_runner(_conf(), 'standard', 'train')
+  train_set = load_dataset(_conf(), '/tmp', 'Synthetic', 'train')
+  loader = DataLoader(train_set, 4, shuffle=False)
+  runner_a.train_epoch(loader, 1, steps_per_train_summary=100)
+
+  runner_b = build_runner(_conf(train_remat=True), 'standard', 'train')
+  assert runner_b.train_remat
+  loader = DataLoader(train_set, 4, shuffle=False)
+  losses_b, _ = runner_b.train_epoch(loader, 1, steps_per_train_summary=100)
+  assert all(np.isfinite(m.value) for m in losses_b.values())
+
+  for a, b in zip(jax.tree_util.tree_leaves(runner_a.state['params']),
+                  jax.tree_util.tree_leaves(runner_b.state['params'])):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-6, rtol=1e-5)
