@@ -350,7 +350,7 @@ def run_components(image_size, batch_size, dtype_str):
   sys.stderr.flush()
 
 
-def run_train_bench(image_size, batch_size, steps):
+def run_train_bench(image_size, batch_size, steps, train_dtype=None):
   """Flagship GAN training throughput (paper configs/2 recipe on synthetic
   data): steady-state samples/sec of the full D-then-G jitted update.
   Printed to stderr — the stdout contract stays one JSON line."""
@@ -371,6 +371,9 @@ def run_train_bench(image_size, batch_size, steps):
       'batch_size': batch_size, 'num_data_workers': 0,
       'vgg_random_init': True,
   })
+  if train_dtype:
+    raw['train_dtype'] = train_dtype
+  tag = ', {} compute'.format(train_dtype) if train_dtype else ''
   conf = Configuration.from_dict(raw)
   runner = build_runner(conf, 'adversarial', mode='train')
   from csmri_refinement_tpu.data import DataLoader, load_dataset
@@ -388,7 +391,7 @@ def run_train_bench(image_size, batch_size, steps):
   sps = batch_size * steps / elapsed
   sys.stderr.write(json.dumps({
       'metric': '{s}x{s} GAN train samples/sec/chip (flagship recipe, '
-                'D-then-G step)'.format(s=image_size),
+                'D-then-G step{t})'.format(s=image_size, t=tag),
       'value': round(sps, 2), 'unit': 'samples/s'}) + '\n')
   sys.stderr.flush()
 
@@ -403,12 +406,13 @@ def run_train_bench(image_size, batch_size, steps):
   sps_scan = batch_size * k * max(steps // k, 2) / elapsed
   sys.stderr.write(json.dumps({
       'metric': '{s}x{s} GAN train samples/sec/chip (steps_per_fetch={k} '
-                'scan)'.format(s=image_size, k=k),
+                'scan{t})'.format(s=image_size, k=k, t=tag),
       'value': round(sps_scan, 2), 'unit': 'samples/s'}) + '\n')
   sys.stderr.flush()
 
 
-def run_standard_train_bench(image_size, batch_size, steps):
+def run_standard_train_bench(image_size, batch_size, steps,
+                             train_dtype=None):
   """Standard-runner training throughput (configs/1 RecNet+MSE recipe on
   synthetic data): per-step fetch and steps_per_fetch=8 scan rows to
   stderr. The single-network step is even more dispatch/fetch-bound than
@@ -426,6 +430,9 @@ def run_standard_train_bench(image_size, batch_size, steps):
                     'num_val': batch_size},
       'batch_size': batch_size, 'num_data_workers': 0,
   })
+  if train_dtype:
+    raw['train_dtype'] = train_dtype
+  tag = ', {} compute'.format(train_dtype) if train_dtype else ''
   conf = Configuration.from_dict(raw)
   runner = build_runner(conf, 'standard', mode='train')
   dataset = load_dataset(conf, '/tmp', 'Synthetic', 'train')
@@ -444,7 +451,7 @@ def run_standard_train_bench(image_size, batch_size, steps):
   sps = batch_size * steps / (time.perf_counter() - start)
   sys.stderr.write(json.dumps({
       'metric': '{s}x{s} RecNet train samples/sec/chip (configs/1 recipe, '
-                'per-step fetch)'.format(s=image_size),
+                'per-step fetch{t})'.format(s=image_size, t=tag),
       'value': round(sps, 2), 'unit': 'samples/s'}) + '\n')
   sys.stderr.flush()
 
@@ -458,7 +465,7 @@ def run_standard_train_bench(image_size, batch_size, steps):
   sps_scan = batch_size * k * reps / (time.perf_counter() - start)
   sys.stderr.write(json.dumps({
       'metric': '{s}x{s} RecNet train samples/sec/chip (steps_per_fetch='
-                '{k} scan)'.format(s=image_size, k=k),
+                '{k} scan{t})'.format(s=image_size, k=k, t=tag),
       'value': round(sps_scan, 2), 'unit': 'samples/s'}) + '\n')
   sys.stderr.flush()
 
@@ -540,7 +547,8 @@ def child_main(args):
     # the measured ceiling). Each row is best-effort.
     for bs, st in ((5, args.train_steps), (32, max(args.train_steps // 2, 2))):
       try:
-        run_train_bench(args.image_size, bs, st)
+        run_train_bench(args.image_size, bs, st,
+                        train_dtype=args.train_dtype)
       except Exception as e:
         sys.stderr.write(json.dumps({
             'metric': '{s}x{s} GAN train samples/sec/chip (batch {b})'
@@ -551,7 +559,8 @@ def child_main(args):
     for bs in (20, 128):
       try:
         run_standard_train_bench(args.image_size, bs,
-                                 max(args.train_steps, 8))
+                                 max(args.train_steps, 8),
+                                 train_dtype=args.train_dtype)
       except Exception as e:
         sys.stderr.write(json.dumps({
             'metric': '{s}x{s} RecNet train samples/sec/chip (batch {b})'
@@ -624,6 +633,9 @@ def main(argv):
                            'reference validates at batch 1) at the main '
                            'and extra sizes; stderr rows')
   parser.add_argument('--train-steps', type=int, default=8)
+  parser.add_argument('--train-dtype', default=None,
+                      help='mixed-precision training compute dtype for the '
+                           '--train rows (e.g. bfloat16); params stay f32')
   parser.add_argument('--fused-conv', action='store_true',
                       help='route eval U-Net conv chains through the fused '
                            'Pallas kernel (ops/conv_pallas.py)')

@@ -106,14 +106,20 @@ def _get_vgg_criterion(conf, loss_name, target_key):
     blocks = conf.vgg_loss.get('blocks', -1)
     criterion = conf.vgg_loss.get('criterion', 'MSE')
     weights = conf.vgg_loss.get('weights')
+    dtype = conf.vgg_loss.get('dtype')
   else:
-    blocks, criterion, weights = -1, 'MSE', None
+    blocks, criterion, weights, dtype = -1, 'MSE', None, None
+  if dtype is None:
+    # Mixed-precision training: the run-level train_dtype also sets the
+    # VGG feature extractor's compute dtype (explicit vgg_loss.dtype wins)
+    dtype = conf.get_attr('train_dtype')
   vgg_loss = VGGLoss(loss_name, blocks, criterion, weights,
                      weights_path=conf.get_attr('vgg_weights_path'),
                      conf_path=conf.file,
                      allow_random_init=conf.get_attr('vgg_random_init',
                                                      default=False),
-                     remat=conf.get_attr('train_remat', default=False))
+                     remat=conf.get_attr('train_remat', default=False),
+                     dtype=dtype)
   return CriterionWrapper(vgg_loss, target_key)
 
 

@@ -53,10 +53,14 @@ def construct_model(conf, model_name, **kwargs):
   learnable_conf = Configuration.from_dict(params['learnable_model_conf'],
                                            conf)
   # Thread the undersampling section down to the wrapped models (RecNet
-  # derives the exact skinny-DC lowering from it, models/recnet.py).
+  # derives the exact skinny-DC lowering from it, models/recnet.py), and
+  # the compute dtype (mixed-precision training sets it at the wrapper
+  # level; explicit sub-model dtypes win).
   for sub in (pretrained_conf, learnable_conf):
     if conf.has_attr('undersampling') and not sub.has_attr('undersampling'):
       sub.undersampling = conf.undersampling
+    if conf.has_attr('dtype') and not sub.has_attr('dtype'):
+      sub.dtype = conf.dtype
   pretrained = build_model(pretrained_conf, pretrained_conf.name)
   learnable = build_model(learnable_conf, learnable_conf.name)
 

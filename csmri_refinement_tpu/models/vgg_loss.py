@@ -29,7 +29,7 @@ def _complex_to_rgb(x):
 class VGGLoss:
   def __init__(self, loss_name, blocks=-1, criterion='L1', weights=None,
                weights_path=None, conf_path=None, allow_random_init=False,
-               remat=False):
+               remat=False, dtype=None):
     if loss_name != 'VGG19':
       raise ValueError('Unknown VGG loss {}'.format(loss_name))
 
@@ -39,7 +39,12 @@ class VGGLoss:
       blocks = [blocks]
     self.blocks = blocks
 
-    self.vgg = VGG19(output_blocks=tuple(blocks))
+    # dtype: compute dtype of the feature extractor (params stay f32);
+    # set by mixed-precision training (`train_dtype` config key) — the
+    # VGG stack is the GAN step's most MXU-friendly network (C up to 512)
+    if isinstance(dtype, str):
+      dtype = jnp.dtype(dtype)
+    self.vgg = VGG19(output_blocks=tuple(blocks), dtype=dtype)
     self.vgg_params = load_vgg19_params(weights_path, conf_path,
                                         allow_random_init=allow_random_init)
     self.criterion = _CRITERIONS[criterion]
@@ -76,6 +81,9 @@ class VGGLoss:
     loss = 0.0
     for weight, pred_f, target_f in zip(self.weights, pred_features,
                                         target_features):
-      loss += weight * self.criterion(pred_f,
-                                      jax.lax.stop_gradient(target_f))
+      # f32 loss epilogue: the reductions run in f32 even when the
+      # feature extractor computes in bf16 (no-op for f32 features)
+      loss += weight * self.criterion(
+          pred_f.astype(jnp.float32),
+          jax.lax.stop_gradient(target_f).astype(jnp.float32))
     return loss

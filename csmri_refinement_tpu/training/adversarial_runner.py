@@ -43,7 +43,8 @@ from csmri_refinement_tpu.training import image_pool
 from csmri_refinement_tpu.utils.compile_opts import serving_jit
 from csmri_refinement_tpu.training.adversarial_training import (
     get_discriminator_input_fn)
-from csmri_refinement_tpu.training.base_runner import BaseRunner
+from csmri_refinement_tpu.training.base_runner import (BaseRunner,
+                                                       cast_outputs_f32)
 from csmri_refinement_tpu.training.lr_schedulers import get_lr_scheduler
 from csmri_refinement_tpu.training.model_setup import (
     apply_pretrained_weights)
@@ -81,6 +82,12 @@ class AdversarialRunner(BaseRunner):
     if conf.has_attr('undersampling') and \
         not self.gen_model_conf.has_attr('undersampling'):
       self.gen_model_conf.undersampling = conf.undersampling
+    # Mixed-precision training (`train_dtype`, see runner.py): compute
+    # dtype for every network of the GAN step; params/opt state stay f32,
+    # loss epilogues pinned f32 via cast_outputs_f32. Train mode only.
+    if mode == 'train' and conf.get_attr('train_dtype') and \
+        not self.gen_model_conf.has_attr('dtype'):
+      self.gen_model_conf.dtype = conf.train_dtype
     self.gen = construct_model(self.gen_model_conf, self.gen_model_conf.name)
     self.gen_input_keys = get_input_keys(self.gen)
     self.gen_has_train_arg = getattr(self.gen, 'HAS_TRAIN_ARG', False)
@@ -110,6 +117,9 @@ class AdversarialRunner(BaseRunner):
     if mode == 'train':
       self.disc_model_conf = Configuration.from_dict(
           conf.discriminator_model, conf)
+      if conf.get_attr('train_dtype') and \
+          not self.disc_model_conf.has_attr('dtype'):
+        self.disc_model_conf.dtype = conf.train_dtype
       self.disc = construct_model(self.disc_model_conf, 'CNNDiscriminator')
 
       self.gen_adv_criteria = {
@@ -320,12 +330,18 @@ class AdversarialRunner(BaseRunner):
     losses_out = {}
 
     def gen_forward(params):
-      return self._apply_net(self.gen, params, gen_state['batch_stats'],
-                             gen_inputs, True, gen_dropout_rng,
-                             self.gen_has_train_arg)
+      # cast_outputs_f32: f32 loss epilogue for mixed-precision training
+      # (train_dtype) — gen outputs feed criteria, the pool, and the disc;
+      # no-op for f32 models
+      out, bs = self._apply_net(self.gen, params, gen_state['batch_stats'],
+                                gen_inputs, True, gen_dropout_rng,
+                                self.gen_has_train_arg)
+      return cast_outputs_f32(out), bs
 
     def disc_apply(params, bs, x, dropout_rng):
-      return self._apply_net(self.disc, params, bs, [x], True, dropout_rng)
+      out, new_bs = self._apply_net(self.disc, params, bs, [x], True,
+                                    dropout_rng)
+      return cast_outputs_f32(out), new_bs
 
     if self.train_remat:
       # Recompute-in-backward (see __init__): both closures take only
@@ -588,6 +604,7 @@ class AdversarialRunner(BaseRunner):
       out_disc_real, _ = self._apply_net(self.disc, disc_state['params'],
                                          disc_state['batch_stats'],
                                          [real_in], False, None)
+    out_gen = cast_outputs_f32(out_gen)  # f32 loss/metric epilogue
     losses = {name: crit(out_gen, batch)
               for name, crit in self.gen_criteria.items()}
     return out_gen, out_disc_fake, out_disc_real, losses

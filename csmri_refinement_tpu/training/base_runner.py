@@ -24,6 +24,21 @@ from csmri_refinement_tpu.metrics import accumulate_metric
 from csmri_refinement_tpu.utils import host_fetch
 
 
+def cast_outputs_f32(tree):
+  """f32 loss epilogue for mixed-precision training: cast floating network
+  outputs to float32 at the loss boundary so every criterion's reductions
+  accumulate in f32 even when the networks compute in bf16 (`train_dtype`
+  config key). Identity for f32 models — same-dtype astype is a no-op, so
+  the f32 training graph is unchanged."""
+  import jax.numpy as jnp
+
+  def _cast(x):
+    if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != jnp.float32:
+      return x.astype(jnp.float32)
+    return x
+  return jax.tree.map(_cast, tree)
+
+
 class BaseRunner:
   def __init__(self, conf, mode):
     self.conf = conf

@@ -21,7 +21,8 @@ from csmri_refinement_tpu.data.transform_wrappers import (
 from csmri_refinement_tpu.metrics import get_loss_metric, get_metric_fn
 from csmri_refinement_tpu.models import construct_model, get_input_keys
 from csmri_refinement_tpu.utils.compile_opts import serving_jit
-from csmri_refinement_tpu.training.base_runner import BaseRunner
+from csmri_refinement_tpu.training.base_runner import (BaseRunner,
+                                                       cast_outputs_f32)
 from csmri_refinement_tpu.training.lr_schedulers import get_lr_scheduler
 from csmri_refinement_tpu.training.optimizers import (get_optimizer,
                                                       set_learning_rate)
@@ -50,6 +51,14 @@ class Runner(BaseRunner):
     if conf.has_attr('undersampling') and \
         not model_conf.has_attr('undersampling'):
       model_conf.undersampling = conf.undersampling
+    # Mixed-precision training: `train_dtype` (e.g. "bfloat16") sets the
+    # model's COMPUTE dtype; params/optimizer state stay f32 (flax
+    # param_dtype default), gradients come back f32 through the cast, and
+    # the loss epilogue is pinned f32 (cast_outputs_f32). Train mode only —
+    # evaluation of the same checkpoint runs at the model's own dtype.
+    if mode == 'train' and conf.get_attr('train_dtype') and \
+        not model_conf.has_attr('dtype'):
+      model_conf.dtype = conf.train_dtype
     self.model_conf = model_conf
     self.model = construct_model(model_conf, model_conf.name)
     self.input_keys = get_input_keys(self.model)
@@ -197,6 +206,7 @@ class Runner(BaseRunner):
 
     def loss_fn(params):
       out, new_bs = forward(params)
+      out = cast_outputs_f32(out)  # f32 loss epilogue (no-op for f32)
       losses = {name: crit(out, batch) for name, crit in criteria.items()}
       total = sum(weights[name] * loss for name, loss in losses.items())
       return total, (losses, out, new_bs)
@@ -287,6 +297,7 @@ class Runner(BaseRunner):
       with jax.default_matmul_precision('high'):
         out, _ = self._apply_model(state['params'], state['batch_stats'],
                                    batch, False, None)
+        out = cast_outputs_f32(out)  # f32 loss/metric epilogue (no-op f32)
         losses = {name: crit(out, batch) for name, crit in criteria.items()}
       return out, losses
 
