@@ -156,6 +156,17 @@ def test_eval_mode_ignores_train_dtype():
   assert runner.model.dtype is None
 
 
+def test_bf16_with_scan_and_2d_mesh():
+  """train_dtype composes with the steps_per_fetch scan and a 2-D
+  data×spatial mesh (bf16 activations ride the GSPMD halo exchanges)."""
+  conf = _standard_conf(train_dtype='bfloat16', steps_per_fetch=2,
+                        mesh={'data': 2, 'spatial': 2})
+  runner = build_runner(conf, 'standard', 'train')
+  losses = _train_steps(runner, conf, n=1)  # one scanned chunk = 2 updates
+  assert np.isfinite(losses['loss'].value)
+  _assert_all_f32(runner.state['params'], 'params')
+
+
 @pytest.mark.slow
 def test_adversarial_bf16_step_and_val():
   conf = _adversarial_conf(train_dtype='bfloat16')
