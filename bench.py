@@ -350,6 +350,19 @@ def run_components(image_size, batch_size, dtype_str):
   sys.stderr.flush()
 
 
+def _extra_row(row):
+  """Best-effort extra measurements ride stderr with a non-JSON prefix.
+
+  The driver merges stdout+stderr and takes the last JSON-looking line as
+  the official record — BENCH_r03/r04 were both mis-parsed from a bare
+  512-squared stderr row emitted AFTER the stdout headline. 'extra: '
+  makes every such line unparseable as JSON while staying grep-able;
+  tests/test_cli.py asserts the merged stream holds exactly one bare JSON
+  line (the headline)."""
+  sys.stderr.write('extra: ' + json.dumps(row) + '\n')
+  sys.stderr.flush()
+
+
 def run_train_bench(image_size, batch_size, steps, train_dtype=None):
   """Flagship GAN training throughput (paper configs/2 recipe on synthetic
   data): steady-state samples/sec of the full D-then-G jitted update.
@@ -389,11 +402,10 @@ def run_train_bench(image_size, batch_size, steps, train_dtype=None):
     runner._run_one_update(host_batch, True, True)
   elapsed = time.perf_counter() - start
   sps = batch_size * steps / elapsed
-  sys.stderr.write(json.dumps({
+  _extra_row({
       'metric': '{s}x{s} GAN train samples/sec/chip (flagship recipe, '
                 'D-then-G step{t})'.format(s=image_size, t=tag),
-      'value': round(sps, 2), 'unit': 'samples/s'}) + '\n')
-  sys.stderr.flush()
+      'value': round(sps, 2), 'unit': 'samples/s'})
 
   # Amortized mode: lax.scan k updates per host fetch (steps_per_fetch)
   k = 8
@@ -404,11 +416,10 @@ def run_train_bench(image_size, batch_size, steps, train_dtype=None):
     runner._run_scanned_updates(batches)
   elapsed = time.perf_counter() - start
   sps_scan = batch_size * k * max(steps // k, 2) / elapsed
-  sys.stderr.write(json.dumps({
+  _extra_row({
       'metric': '{s}x{s} GAN train samples/sec/chip (steps_per_fetch={k} '
                 'scan{t})'.format(s=image_size, k=k, t=tag),
-      'value': round(sps_scan, 2), 'unit': 'samples/s'}) + '\n')
-  sys.stderr.flush()
+      'value': round(sps_scan, 2), 'unit': 'samples/s'})
 
 
 def run_standard_train_bench(image_size, batch_size, steps,
@@ -449,11 +460,10 @@ def run_standard_train_bench(image_size, batch_size, steps,
   for _ in range(steps):
     one_step()
   sps = batch_size * steps / (time.perf_counter() - start)
-  sys.stderr.write(json.dumps({
+  _extra_row({
       'metric': '{s}x{s} RecNet train samples/sec/chip (configs/1 recipe, '
                 'per-step fetch{t})'.format(s=image_size, t=tag),
-      'value': round(sps, 2), 'unit': 'samples/s'}) + '\n')
-  sys.stderr.flush()
+      'value': round(sps, 2), 'unit': 'samples/s'})
 
   k = 8
   batches = [host_batch] * k
@@ -463,11 +473,10 @@ def run_standard_train_bench(image_size, batch_size, steps,
   for _ in range(reps):
     runner._run_scanned_updates(batches)
   sps_scan = batch_size * k * reps / (time.perf_counter() - start)
-  sys.stderr.write(json.dumps({
+  _extra_row({
       'metric': '{s}x{s} RecNet train samples/sec/chip (steps_per_fetch='
                 '{k} scan{t})'.format(s=image_size, k=k, t=tag),
-      'value': round(sps_scan, 2), 'unit': 'samples/s'}) + '\n')
-  sys.stderr.flush()
+      'value': round(sps_scan, 2), 'unit': 'samples/s'})
 
 
 def child_main(args):
@@ -550,11 +559,10 @@ def child_main(args):
         run_train_bench(args.image_size, bs, st,
                         train_dtype=args.train_dtype)
       except Exception as e:
-        sys.stderr.write(json.dumps({
+        _extra_row({
             'metric': '{s}x{s} GAN train samples/sec/chip (batch {b})'
                       .format(s=args.image_size, b=bs),
-            'error': type(e).__name__}) + '\n')
-        sys.stderr.flush()
+            'error': type(e).__name__})
     # Standard runner (configs/1 recipe): paper batch 20 + throughput 128
     for bs in (20, 128):
       try:
@@ -562,11 +570,10 @@ def child_main(args):
                                  max(args.train_steps, 8),
                                  train_dtype=args.train_dtype)
       except Exception as e:
-        sys.stderr.write(json.dumps({
+        _extra_row({
             'metric': '{s}x{s} RecNet train samples/sec/chip (batch {b})'
                       .format(s=args.image_size, b=bs),
-            'error': type(e).__name__}) + '\n')
-        sys.stderr.flush()
+            'error': type(e).__name__})
 
   extra_sizes = args.extra_sizes
   if extra_sizes is None:
@@ -587,8 +594,7 @@ def child_main(args):
       except Exception as e:
         row = {'metric': '{s}x{s} recon batch-1 serving latency'
                          .format(s=size), 'error': type(e).__name__}
-      sys.stderr.write(json.dumps(row) + '\n')
-      sys.stderr.flush()
+      _extra_row(row)
 
   # Batch stays at the main bench's value — conv throughput is
   # ∝ min(batch, 128) on this chip regardless of resolution (NOTES.md
@@ -602,8 +608,7 @@ def child_main(args):
     except Exception as e:
       row = {'metric': '{s}x{s} recon slices/sec/chip'.format(s=size),
              'error': type(e).__name__}
-    sys.stderr.write(json.dumps(row) + '\n')
-    sys.stderr.flush()
+    _extra_row(row)
 
 
 def main(argv):

@@ -100,7 +100,7 @@ def _get_feature_penalty_criterion(conf, loss_name, target_key):
       input_key=input_key)
 
 
-def _get_vgg_criterion(conf, loss_name, target_key):
+def _get_vgg_criterion(conf, loss_name, target_key, train=True):
   from csmri_refinement_tpu.models.vgg_loss import VGGLoss
   if conf.has_attr('vgg_loss'):
     blocks = conf.vgg_loss.get('blocks', -1)
@@ -109,9 +109,12 @@ def _get_vgg_criterion(conf, loss_name, target_key):
     dtype = conf.vgg_loss.get('dtype')
   else:
     blocks, criterion, weights, dtype = -1, 'MSE', None, None
-  if dtype is None:
+  if dtype is None and train:
     # Mixed-precision training: the run-level train_dtype also sets the
-    # VGG feature extractor's compute dtype (explicit vgg_loss.dtype wins)
+    # VGG feature extractor's compute dtype (explicit vgg_loss.dtype
+    # wins). Train-only by contract: eval ignores train_dtype
+    # (docs/CONFIG.md) — the ``train`` flag enforces that here rather
+    # than relying on the runners building criteria only in train mode.
     dtype = conf.get_attr('train_dtype')
   vgg_loss = VGGLoss(loss_name, blocks, criterion, weights,
                      weights_path=conf.get_attr('vgg_weights_path'),
@@ -124,12 +127,14 @@ def _get_vgg_criterion(conf, loss_name, target_key):
 
 
 def get_criterion(conf, loss_name, target_key=None, input_key=None,
-                  loss_type=None):
+                  loss_type=None, train=True):
   """Criterion factory (reference criteria.py:112-128).
 
   ``loss_type`` ('gen'/'disc') selects adversarial loss direction.
   Per-loss target-key remapping honors the ``loss_target_keys`` config
-  (criteria.py:118-121).
+  (criteria.py:118-121). ``train=False`` builds an evaluation criterion
+  that ignores the run-level ``train_dtype`` (only VGG19 is affected —
+  the other criteria are dtype-free reductions).
   """
   if input_key is None:
     input_key = 'pred'
@@ -145,7 +150,7 @@ def get_criterion(conf, loss_name, target_key=None, input_key=None,
         get_adversarial_loss)
     return get_adversarial_loss(conf, loss_name, loss_type)
   if loss_name == 'VGG19':
-    return _get_vgg_criterion(conf, loss_name, target_key)
+    return _get_vgg_criterion(conf, loss_name, target_key, train=train)
   if loss_name == 'FeaturePenalty':
     return _get_feature_penalty_criterion(conf, loss_name, target_key)
   raise ValueError('Unknown loss {}'.format(loss_name))

@@ -52,9 +52,12 @@ _FORCE_GEMM = False
 def set_spatial_mesh(active):
   """Declare that subsequent jitted steps run under a spatially-sharded
   mesh (H axis partitioned), forcing the GEMM DC lowering on all
-  backends."""
+  backends. Also forwards to ops.fft so the on-device forward model's
+  fft2/ifft2 (ops/undersample.py) ride the matmul-DFT — XLA:CPU's fft
+  thunk rejects the partitioner's layouts there too."""
   global _SPATIAL_MESH
   _SPATIAL_MESH = bool(active)
+  fft.set_spatial_mesh(active)
 
 
 def force_gemm(active):

@@ -44,12 +44,32 @@ import numpy as np
 #   CSMRI_TPU_FFT=xla|dft overrides.
 _FFT_MODE = os.environ.get('CSMRI_TPU_FFT', 'auto')
 
+# Set via set_spatial_mesh (forwarded from ops.dc.set_spatial_mesh, which
+# parallel/mesh.mesh_from_conf flips): under a spatially-sharded mesh the
+# GSPMD partitioner wraps FFT HLOs in layouts XLA:CPU's fft thunk
+# RET_CHECKs on (LayoutUtil::IsMonotonicWithDim0Major, fft_thunk.cc:167) —
+# seen from the on-device forward model (ops/undersample.py) when
+# steps_per_fetch scans compose with a 2-D mesh. The matmul-DFT lowering
+# partitions cleanly on every backend (same fix ops/dc.py applies to the
+# DC op), so a spatial mesh forces it here too. TPU uses the DFT anyway;
+# this only changes CPU/GPU mesh runs.
+_SPATIAL_MESH = False
+
+
+def set_spatial_mesh(active):
+  """Force the matmul-DFT lowering for fft2/ifft2 while a spatially
+  sharded mesh is active (see _SPATIAL_MESH comment)."""
+  global _SPATIAL_MESH
+  _SPATIAL_MESH = bool(active)
+
 
 def _use_dft():
   if _FFT_MODE == 'dft':
     return True
   if _FFT_MODE == 'xla':
     return False
+  if _SPATIAL_MESH:
+    return True
   return jax.default_backend() not in ('cpu', 'gpu', 'cuda', 'rocm')
 
 

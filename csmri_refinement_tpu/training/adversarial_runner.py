@@ -604,7 +604,13 @@ class AdversarialRunner(BaseRunner):
       out_disc_real, _ = self._apply_net(self.disc, disc_state['params'],
                                          disc_state['batch_stats'],
                                          [real_in], False, None)
-    out_gen = cast_outputs_f32(out_gen)  # f32 loss/metric epilogue
+    # f32 loss/metric epilogue — disc outputs included: under
+    # train_dtype=bfloat16 they are bf16 activations, and validation
+    # host-fetches them for disc metrics/image summaries (bf16
+    # device→host transfers are UNIMPLEMENTED on the tunneled TPU).
+    out_gen = cast_outputs_f32(out_gen)
+    out_disc_fake = cast_outputs_f32(out_disc_fake)
+    out_disc_real = cast_outputs_f32(out_disc_real)
     losses = {name: crit(out_gen, batch)
               for name, crit in self.gen_criteria.items()}
     return out_gen, out_disc_fake, out_disc_real, losses

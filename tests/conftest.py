@@ -41,6 +41,16 @@ def pytest_configure(config):
       'run alone with -m e2e)')
 
 
+@pytest.fixture(autouse=True)
+def _reset_spatial_mesh_flag():
+  """mesh_from_conf / tests flip the process-global spatial-mesh switch
+  (GEMM DC + matmul-DFT forcing, ops/dc.py + ops/fft.py); keep every test
+  order-independent."""
+  yield
+  from csmri_refinement_tpu.ops import dc
+  dc.set_spatial_mesh(False)
+
+
 @pytest.fixture
 def rng():
   return np.random.RandomState(0)

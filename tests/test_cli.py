@@ -224,13 +224,31 @@ def test_bench_watchdog_stdout_contract(tmp_path):
   out = subprocess.run(
       [sys.executable, 'bench.py', '--platform', 'cpu', '--batch-size', '2',
        '--image-size', '32', '--iters', '2', '--warmup', '1',
-       '--extra-sizes'],
+       '--extra-sizes', '48', '--latency'],
       capture_output=True, text=True, cwd=repo, timeout=240)
   lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
   assert len(lines) == 1, out.stdout
   rec = json.loads(lines[0])
   assert rec['unit'] == 'slices/s'
   assert rec['value'] > 0 and 'vs_baseline' in rec
+
+  # Driver-record safety (VERDICT r4 #2): the driver merges stdout+stderr
+  # and takes the last JSON-looking line as the official record. With
+  # extras + latency rows enabled, the MERGED stream must still contain
+  # exactly ONE bare JSON line — the headline; every stderr row rides a
+  # non-JSON 'extra: ' prefix (bench._extra_row).
+  merged = (out.stdout + '\n' + out.stderr).strip().splitlines()
+  json_lines = []
+  for line in merged:
+    try:
+      json_lines.append(json.loads(line))
+    except ValueError:
+      pass
+  assert len(json_lines) == 1, merged
+  assert json_lines[0] == rec
+  # ...and the extras did actually run (prefixed, grep-able)
+  assert any(l.startswith('extra: ') for l in out.stderr.splitlines()), \
+      out.stderr
 
   # Budget expiry: still exactly one line, now a structured error record
   # whose stage distinguishes outage from code failure.

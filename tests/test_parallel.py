@@ -125,15 +125,6 @@ def test_make_mesh_and_conf():
   assert m is not None and m.size == N_DEV
 
 
-@pytest.fixture(autouse=True)
-def _reset_spatial_dc_flag():
-  """mesh_from_conf flips the process-global GEMM-DC switch for spatial
-  meshes; keep tests order-independent."""
-  yield
-  from csmri_refinement_tpu.ops import dc
-  dc.set_spatial_mesh(False)
-
-
 def test_make_mesh_spatial_and_conf():
   """2-D (data x spatial) mesh: shape, axis names, and config wiring."""
   from csmri_refinement_tpu.parallel import mesh_from_conf
@@ -179,8 +170,8 @@ def test_shard_and_replicate_shardings():
       jax.sharding.NamedSharding(mesh, P()), 2)
 
 
-def _run_standard(mesh_conf, epochs=2):
-  conf = _std_conf(mesh=mesh_conf)
+def _run_standard(mesh_conf, epochs=2, **overrides):
+  conf = _std_conf(mesh=mesh_conf, **overrides)
   runner = build_runner(conf, 'standard', 'train')
   train_set = load_dataset(conf, '/tmp', 'Synthetic', 'train')
   loader = DataLoader(train_set, conf.batch_size, shuffle=True, seed=3)
@@ -229,6 +220,27 @@ def test_standard_spatial_mesh_matches_single_device():
   # reduction-order rounding (the leaves themselves are ~1e-5); the loss
   # and PSNR asserts above are the semantic-equivalence claim.
   _leaves_allclose(r1.state['params'], r8.state['params'], atol=5e-5)
+
+
+def test_standard_scan_spatial_mesh_matches_single_device():
+  """steps_per_fetch scan × 2-D spatial mesh (f32): the composition that
+  first crashed XLA:CPU's fft thunk (layout RET_CHECK from the on-device
+  forward model's jnp.fft under GSPMD partitioning — round-5 fix: a
+  spatial mesh forces the matmul-DFT in ops/fft.py, the same switch
+  ops/dc.py already had). Regression: must run AND match the
+  single-device scan run."""
+  from csmri_refinement_tpu.ops import dc
+  dc.set_spatial_mesh(True)
+  r1, losses1, _, vmet1 = _run_standard(None, epochs=1, steps_per_fetch=2)
+  r8, losses8, _, vmet8 = _run_standard(
+      {'data': N_DEV // 2, 'spatial': 2}, epochs=1, steps_per_fetch=2)
+  assert r8.mesh is not None and r8.mesh.shape['spatial'] == 2
+  assert abs(losses1['loss'].value - losses8['loss'].value) < 1e-5
+  assert abs(vmet1['psnr'].value - vmet8['psnr'].value) < 1e-3
+  # 1e-4: the scan's two Adam updates per chunk double the amplification
+  # of GSPMD-vs-local reduction-order rounding on near-zero bias leaves
+  # (observed max 5.3e-5); loss/PSNR above are the semantic claim.
+  _leaves_allclose(r1.state['params'], r8.state['params'], atol=1e-4)
 
 
 def test_adversarial_mesh_matches_single_device():
