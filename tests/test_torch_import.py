@@ -321,3 +321,130 @@ def test_deployed_checkpoint_skips_missing_keys(rng, tmp_path, capsys):
   from csmri_refinement_tpu.utils.checkpoints import load_model_state_dict
   loaded = load_model_state_dict(out_path, 'generator')
   assert 'block_0' in loaded['params']
+
+
+@pytest.mark.e2e
+def test_flagship_checkpoint_cli_to_validate_parity(tmp_path):
+  """The advertised migration path, end-to-end at flagship scale
+  (VERDICT r4 #6): a reference-shaped GAN training checkpoint (paper
+  architecture: RecNet 3x3x32 + refinement U-Net [32,64,128]/[64,32] +
+  PatchGAN disc, reference adversarial_runner.py:236-242 state-dict
+  layout) converts via the config-driven CLI, drives validate.py, and
+  the validated PSNR/SSIM match the torch twin's own forward on the
+  SAME fixed validation masks within the repo parity budget
+  (0.1 dB / 0.001 SSIM)."""
+  import json
+
+  import torch_twins
+  import validate as validate_cli
+  from csmri_refinement_tpu.data import DataLoader, load_dataset
+  from csmri_refinement_tpu.metrics import get_metric_fn
+  from csmri_refinement_tpu.training import build_runner
+  from csmri_refinement_tpu.utils.checkpoints import restore_checkpoint
+  from csmri_refinement_tpu.utils.config import Configuration
+
+  size, batch = 64, 4
+  unet_kwargs = dict(num_inputs=2, num_outputs=1, num_layers_per_scale=2,
+                     encode_filters=[32, 64, 128], decode_filters=[64, 32],
+                     kernel_size=4, upsampling_mode='nn-resize-conv',
+                     output_activation='none', padding='reflection',
+                     decoder_act_upsampling_only=True)
+  torch.manual_seed(11)
+  tm = torch_twins.TorchRefinementWrapper(
+      torch_twins.TorchRecNet(num_blocks=3, num_convs=3, num_filters=32),
+      torch_twins.TorchUNET(**unet_kwargs),
+      mode='real-penalty-add', input_mode='output')
+  tm.scale.data.fill_(0.3)  # nonzero so the residual path matters
+  tm.eval()
+  disc = torch_twins.TorchCNNDiscriminator(
+      num_inputs=1, num_filters_per_layer=[8, 16], strides=[2, 2],
+      kernel_sizes=4, final_conv_kernel_size=4, padding='reflection',
+      use_norm_layers='not-first', norm_layer='batch',
+      compute_features=True)
+
+  # Reference-shaped training checkpoint (full runner state incl. disc)
+  torch_path = str(tmp_path / 'ref_flagship.pth')
+  torch.save({'conf': {'from': 'reference'},
+              'runner': {'generator': tm.state_dict(),
+                         'discriminator': disc.state_dict()},
+              'epoch': 5}, torch_path)
+
+  conf_dict = {
+      'seed': 0,
+      'runner_type': 'adversarial',
+      'application': 'reconstruction',
+      'train_dataset': 'Synthetic',
+      'validation_dataset': 'Synthetic',
+      'synthetic': {'image_size': size, 'num_train': 8, 'num_val': 8},
+      'undersampling': {'sampling_scheme': 'varden',
+                        'acceleration_factor': 4,
+                        'variable_acceleration': False},
+      'generator_model': {
+          'name': 'RefinementWrapper',
+          'mode': 'real-penalty-add',
+          'input_mode': 'output',
+          'pretrained_model': {'name': 'RecNet', 'num_blocks': 3,
+                               'num_convs': 3, 'num_filters': 32},
+          'learnable_model': dict(unet_kwargs, name='UNET'),
+      },
+      'discriminator_model': {
+          'num_inputs': 1, 'input_method': 'simple-magnitude',
+          'num_filters_per_layer': [8, 16], 'strides': [2, 2],
+          'kernel_sizes': 4, 'final_conv_kernel_size': 4,
+          'padding': 'reflection', 'use_norm_layers': 'not-first',
+          'norm_layer': 'batch', 'compute_features': True,
+      },
+      'batch_size': batch,
+      'validation_metrics': ['psnr', 'ssim'],
+  }
+  conf_path = str(tmp_path / 'flagship.json')
+  with open(conf_path, 'w') as f:
+    json.dump(conf_dict, f)
+
+  # 1. Convert via the CLI (architecture derived from the config)
+  out_path = str(tmp_path / 'converted.ckpt')
+  torch_import.main(['--checkpoint', conf_path, torch_path, out_path])
+
+  # 2. The converted checkpoint drives validate.py end-to-end
+  validate_cli.main([conf_path, out_path, '--dry',
+                     '--batch-size', str(batch)])
+
+  # 3. Numerical parity: validate through a runner, then score the torch
+  # twin on the SAME deterministic validation batches with the SAME
+  # metric functions.
+  conf = Configuration.from_json(conf_path)
+  runner = build_runner(conf, 'adversarial', mode='test')
+  restore_checkpoint(out_path, runner)
+  val_set = load_dataset(conf, '/tmp', 'Synthetic', 'val')
+  _, _, val_metrics = runner.validate(
+      DataLoader(val_set, batch, shuffle=False))
+
+  psnr_fn = get_metric_fn(conf, 'psnr', 'test')
+  ssim_fn = get_metric_fn(conf, 'ssim', 'test')
+  twin = {}
+  for host_batch in DataLoader(val_set, batch, shuffle=False):
+    prepared = runner.preparer.prepare_val(host_batch)
+    inp = np.asarray(prepared['inp'])
+    ksp = np.asarray(prepared['kspace'])
+    mask = np.asarray(prepared['mask'])
+    target = np.asarray(prepared['target'])
+    with torch.no_grad():
+      t_out = tm(torch.from_numpy(inp.transpose(0, 3, 1, 2).copy()),
+                 torch.from_numpy(ksp.transpose(0, 3, 1, 2).copy()),
+                 torch.from_numpy(mask.transpose(0, 3, 1, 2).copy()))
+    t_pred = t_out['pred'].numpy().transpose(0, 2, 3, 1)
+    for name, fn in (('psnr', psnr_fn), ('ssim', ssim_fn)):
+      m = fn({'pred': t_pred}, target)
+      if name in twin:
+        twin[name].accumulate(m)
+      else:
+        twin[name] = m
+
+  got_psnr = val_metrics['gen_psnr'].value
+  got_ssim = val_metrics['gen_ssim'].value
+  assert abs(got_psnr - twin['psnr'].value) < 0.1, \
+      (got_psnr, twin['psnr'].value)
+  assert abs(got_ssim - twin['ssim'].value) < 0.001, \
+      (got_ssim, twin['ssim'].value)
+  # Sanity: the converted cascade actually reconstructs (beats garbage)
+  assert got_psnr > 20.0
