@@ -554,14 +554,16 @@ def child_main(args):
     # throughput mode (conv rates on this chip are ∝ min(batch, 128);
     # batch 64 RESOURCE_EXHAUSTs HBM for the 5-network GAN step — 32 is
     # the measured ceiling). Each row is best-effort.
+    dtag = ', {} compute'.format(args.train_dtype) if args.train_dtype \
+        else ''
     for bs, st in ((5, args.train_steps), (32, max(args.train_steps // 2, 2))):
       try:
         run_train_bench(args.image_size, bs, st,
                         train_dtype=args.train_dtype)
       except Exception as e:
         _extra_row({
-            'metric': '{s}x{s} GAN train samples/sec/chip (batch {b})'
-                      .format(s=args.image_size, b=bs),
+            'metric': '{s}x{s} GAN train samples/sec/chip (batch {b}{t})'
+                      .format(s=args.image_size, b=bs, t=dtag),
             'error': type(e).__name__})
     # Standard runner (configs/1 recipe): paper batch 20 + throughput 128
     for bs in (20, 128):
@@ -571,8 +573,8 @@ def child_main(args):
                                  train_dtype=args.train_dtype)
       except Exception as e:
         _extra_row({
-            'metric': '{s}x{s} RecNet train samples/sec/chip (batch {b})'
-                      .format(s=args.image_size, b=bs),
+            'metric': '{s}x{s} RecNet train samples/sec/chip (batch {b}{t})'
+                      .format(s=args.image_size, b=bs, t=dtag),
             'error': type(e).__name__})
 
   extra_sizes = args.extra_sizes

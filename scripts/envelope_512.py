@@ -77,12 +77,26 @@ def conv_rows():
     conv = nn.Conv(cout, (k, k), padding='VALID', dtype=jnp.bfloat16)
     params = jax.jit(conv.init)(jax.random.PRNGKey(0),
                                 same_pad(x[:1], k, 1, 'zero'))
+    def fit(x, y, cin=cin):
+      # timed_scan carries the input shape: adapt the output's channel
+      # count keeping data dependence — slice (r2/r3 conv-table idiom,
+      # perf_conv_kernel.probe_mixed) when the output is wide enough; a
+      # numerically-inert broadcast-add for narrow outputs (the x32
+      # concat the tile idiom would need for the 32->1 head crashes the
+      # relay compiler at 512²/B128)
+      co = y.shape[-1]
+      if co >= cin:
+        return y[..., :cin]
+      if 2 * co >= cin:  # merge convs: one duplicate, the r2/r3 idiom
+        return jnp.concatenate([y, y], axis=-1)[..., :cin]
+      return x + 1e-30 * y[..., :1]
+
     if pad == 'zero':
-      fn = lambda x, conv=conv, params=params, k=k: conv.apply(
-          params, same_pad(x, k, 1, 'zero'))
+      fn = lambda x, conv=conv, params=params, k=k: fit(x, conv.apply(
+          params, same_pad(x, k, 1, 'zero')))
     else:
-      fn = lambda x, conv=conv, params=params, k=k: same_conv(
-          lambda p: conv.apply(params, p), x, k, 'reflection')
+      fn = lambda x, conv=conv, params=params, k=k: fit(x, same_conv(
+          lambda p: conv.apply(params, p), x, k, 'reflection'))
     meas = timed(fn, x) * 1e3
     env, traffic, mxu = envelope_ms(h, h, cin, cout, k)
     total_meas += meas * count
