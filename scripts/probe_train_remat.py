@@ -81,9 +81,20 @@ def main(argv):
   parser.add_argument('--steps', type=int, default=8)
   parser.add_argument('--no-scan', action='store_true',
                       help='skip the (noisy) scanned8 measurement')
+  parser.add_argument('--remat', choices=['off', 'on', 'both'],
+                      default='both',
+                      help='run one remat setting only — REQUIRED for '
+                           'honest OOM rows: grid cells in one process '
+                           'inherit the previous cells\' live executables '
+                           '+ buffers, so a later cell can OOM on '
+                           'leftovers rather than its own working set '
+                           '(measured: remat/B32 OOMs third-in-process '
+                           'but fits alone). Run one cell per process.')
   args = parser.parse_args(argv)
 
-  for train_remat in (False, True):
+  remat_values = {'off': (False,), 'on': (True,),
+                  'both': (False, True)}[args.remat]
+  for train_remat in remat_values:
     for bs in args.batches:
       steps = args.steps if bs <= 8 else max(args.steps // 2, 2)
       try:

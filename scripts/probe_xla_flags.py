@@ -83,6 +83,16 @@ def main(argv):
                       help='run only options whose name contains any of '
                            'these substrings (chunked sweeps under the '
                            'relay compile latency)')
+  parser.add_argument('--ab', nargs='*', default=None,
+                      help='paired A/B mode: build the shipped baseline '
+                           'and each named EXTENDED candidate once, then '
+                           'time them in interleaved long windows '
+                           '(B C B C ...) within ONE process. This is the '
+                           'only protocol that survives the measured '
+                           'cross-session relay variance (NOTES round 5); '
+                           'the sequential sweep is for coarse scans only.')
+  parser.add_argument('--reps', type=int, default=4,
+                      help='interleaved window pairs per candidate in --ab')
   args = parser.parse_args(argv)
 
   import jax
@@ -93,7 +103,7 @@ def main(argv):
   batch = batch_for(args.batch)
   fargs = (batch['inp'], batch['kspace'], batch['mask'])
 
-  def run_with(options):
+  def build_loop(options):
     @functools.partial(jax.jit, static_argnames='n',
                        compiler_options=options or None)
     def bench_loop(variables, inp, kspace, mask, n):
@@ -102,10 +112,14 @@ def main(argv):
         return pred.astype(inp.dtype), None
       out, _ = jax.lax.scan(body, inp, None, length=n)
       return jnp.sum(out.astype(jnp.float32))
+    return bench_loop
 
+  def warm(bench_loop):
     val = float(bench_loop(variables, *fargs, n=args.warmup))
     assert val == val
     float(bench_loop(variables, *fargs, n=args.warmup + args.iters))
+
+  def timed_window(bench_loop):
     start = time.perf_counter()
     float(bench_loop(variables, *fargs, n=args.warmup))
     base = time.perf_counter() - start
@@ -113,6 +127,38 @@ def main(argv):
     float(bench_loop(variables, *fargs, n=args.warmup + args.iters))
     elapsed = time.perf_counter() - start
     return args.batch * args.iters / max(elapsed - base, 1e-9)
+
+  def run_with(options):
+    bench_loop = build_loop(options)
+    warm(bench_loop)
+    return timed_window(bench_loop)
+
+  if args.ab:
+    base_loop = build_loop(dict(_BEST))
+    warm(base_loop)
+    for name, options in EXTENDED:
+      if name == 'best' or not any(s in name for s in args.ab):
+        continue
+      try:
+        cand_loop = build_loop(options)
+        warm(cand_loop)
+      except Exception as e:
+        print(json.dumps({'option': name, 'error': type(e).__name__,
+                          'detail': str(e)[:200]}), flush=True)
+        continue
+      pairs = []
+      for _ in range(args.reps):
+        b = timed_window(base_loop)
+        c = timed_window(cand_loop)
+        pairs.append((round(b, 1), round(c, 1)))
+      deltas = [c / b - 1.0 for b, c in pairs]
+      deltas.sort()
+      print(json.dumps({
+          'option': name, 'paired_windows': pairs,
+          'median_delta_pct': round(100 * deltas[len(deltas) // 2], 2),
+          'mean_delta_pct': round(100 * sum(deltas) / len(deltas), 2),
+      }), flush=True)
+    return
 
   rows = EXTENDED if args.extended else SWEEP
   if args.only:
