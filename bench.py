@@ -265,7 +265,9 @@ def run_bench(batch_size, image_size, iters, warmup, dtype_str,
   # backend's lazy dispatch: block_until_ready alone does not guarantee
   # execution there, and independent unfetched dispatches could be elided.
   # Serving compiler options: measured scoped-VMEM fusion-budget optimum
-  # (+6.3% at 256^2, +3.8% at 512^2 — utils/compile_opts.py, NOTES round 3).
+  # (+6.3% at 256^2, +3.8% at 512^2 — NOTES round 3) plus the
+  # bundle-aware fusion cost model below 512^2 (+1.3% paired A/B,
+  # NOTES round 5) — utils/compile_opts.py.
   # _FallbackJit retries the first compile without the options if the
   # relay/libtpu rejects them (VERDICT r3 #2).
   from csmri_refinement_tpu.utils.compile_opts import (

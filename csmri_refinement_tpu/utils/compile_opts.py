@@ -1,19 +1,25 @@
 """Measured XLA compiler options for the TPU serving/eval path.
 
 No reference analogue (the reference has no compiler-tuning layer); this is
-TPU-specific tuning with no semantic effect — `xla_tpu_scoped_vmem_limit_kib`
-only changes how much VMEM XLA's fusion passes may budget per fused
-computation, which controls conv fusion depth on the flagship's
-traffic-bound C32/C64 U-Net layers.
+TPU-specific tuning with no semantic effect on results:
 
-Sweep evidence (scripts/probe_xla_flags.py on the v5e, NOTES round 3):
+* `xla_tpu_scoped_vmem_limit_kib` changes how much VMEM XLA's fusion
+  passes may budget per fused computation, which controls conv fusion
+  depth on the flagship's traffic-bound C32/C64 U-Net layers.
+  Sweep evidence (scripts/probe_xla_flags.py on the v5e, NOTES round 3):
 
-    256^2 B128: baseline 2359 -> 40 MiB 2507 slices/s (+6.3%)
-    512^2 B128: baseline  566 -> 64 MiB  587 slices/s (+3.8%)
+      256^2 B128: baseline 2359 -> 40 MiB 2507 slices/s (+6.3%)
+      512^2 B128: baseline  566 -> 64 MiB  587 slices/s (+3.8%)
 
-Both optima sit well above the backend default; past them the deeper
-fusions spill. Override / disable with CSMRI_TPU_SCOPED_VMEM_KIB
-(set to 0 to disable).
+  Both optima sit well above the backend default; past them the deeper
+  fusions spill. Override with CSMRI_TPU_SCOPED_VMEM_KIB (0 drops it).
+
+* `xla_tpu_use_bundle_aware_cost_model_for_fusions` makes the fusion
+  cost model account for instruction bundling. Paired-window A/B on the
+  v5e (probe_xla_flags --ab, NOTES round 5): +1.3% median at 256^2
+  (positive in 6/6 interleaved pairs), but -2.5% at 512^2 — so it ships
+  gated to image_size < 512, exactly like the per-resolution VMEM
+  optimum. Override with CSMRI_TPU_BUNDLE_AWARE_COST=1/0.
 """
 
 import os
@@ -22,13 +28,15 @@ import os
 # helper picks by image size when the caller knows it.
 _DEFAULT_KIB = 40960
 _LARGE_IMAGE_KIB = 65536
+_BUNDLE_FLAG = 'xla_tpu_use_bundle_aware_cost_model_for_fusions'
 
 
 def serving_compiler_options(image_size=None):
   """Per-jit `compiler_options` dict for eval/serving entry points.
 
-  Returns None (no override) off-TPU or when disabled via
-  CSMRI_TPU_SCOPED_VMEM_KIB=0.
+  Returns None (no override) off-TPU or when every option is disabled
+  via its env kill switch (CSMRI_TPU_SCOPED_VMEM_KIB=0,
+  CSMRI_TPU_BUNDLE_AWARE_COST=0).
   """
   import jax
   try:
@@ -36,13 +44,23 @@ def serving_compiler_options(image_size=None):
       return None
   except Exception:  # backend init failure: never block the caller
     return None
+  large = (image_size or 0) >= 512
+  options = {}
   env = os.environ.get('CSMRI_TPU_SCOPED_VMEM_KIB')
   if env is not None:
-    if env.strip() in ('', '0'):
-      return None
-    return {'xla_tpu_scoped_vmem_limit_kib': env.strip()}
-  kib = _LARGE_IMAGE_KIB if (image_size or 0) >= 512 else _DEFAULT_KIB
-  return {'xla_tpu_scoped_vmem_limit_kib': str(kib)}
+    if env.strip() not in ('', '0'):
+      options['xla_tpu_scoped_vmem_limit_kib'] = env.strip()
+  else:
+    kib = _LARGE_IMAGE_KIB if large else _DEFAULT_KIB
+    options['xla_tpu_scoped_vmem_limit_kib'] = str(kib)
+  benv = os.environ.get('CSMRI_TPU_BUNDLE_AWARE_COST')
+  if benv is not None:
+    bundle_on = benv.strip() not in ('', '0')
+  else:
+    bundle_on = not large  # measured loser at 512^2 (NOTES round 5)
+  if bundle_on:
+    options[_BUNDLE_FLAG] = 'true'
+  return options or None
 
 
 class _FallbackJit:
@@ -93,7 +111,8 @@ class _FallbackJit:
         logging.getLogger(__name__).error(
             'compiler_options rejected by the backend (%s: %s); '
             'proceeding WITHOUT compiler options — set '
-            'CSMRI_TPU_SCOPED_VMEM_KIB=0 to silence',
+            'CSMRI_TPU_SCOPED_VMEM_KIB=0 and CSMRI_TPU_BUNDLE_AWARE_COST=0 '
+            'to silence',
             type(err).__name__, err)
         self._active = jax.jit(self._fn, **self._jit_kwargs)
     return self._active(*args, **kwargs)

@@ -93,7 +93,16 @@ def main(argv):
                            'the sequential sweep is for coarse scans only.')
   parser.add_argument('--reps', type=int, default=4,
                       help='interleaved window pairs per candidate in --ab')
+  parser.add_argument('--vmem-kib', type=int, default=None,
+                      help='override the scoped-VMEM KiB used as the A/B '
+                           'baseline (default 40960; the shipped 512^2 '
+                           'serving default is 65536)')
   args = parser.parse_args(argv)
+  if args.vmem_kib:
+    _BEST['xla_tpu_scoped_vmem_limit_kib'] = str(args.vmem_kib)
+    for _, _opts in EXTENDED:
+      if 'xla_tpu_scoped_vmem_limit_kib' in _opts:
+        _opts['xla_tpu_scoped_vmem_limit_kib'] = str(args.vmem_kib)
 
   import jax
   import jax.numpy as jnp
