@@ -70,6 +70,43 @@ def measure(image_size, batch_size, steps):
   return per_step, scanned
 
 
+def paired_ab(image_size, batch_size, steps, kib, reps):
+  """Interleaved-window A/B: backend-default vs KIB train scoped-VMEM.
+
+  Both runners are built once (each reads the env var at step-jit
+  creation), then timed B C B C ... within one process so relay drift
+  cancels pairwise (NOTES round 5: within-epoch floor is ±0.3%, so a
+  >=1% paired median is real)."""
+  os.environ.pop('CSMRI_TPU_TRAIN_SCOPED_VMEM_KIB', None)
+  base_runner, base_batch = build_runner_and_batch(image_size, batch_size)
+  os.environ['CSMRI_TPU_TRAIN_SCOPED_VMEM_KIB'] = str(kib)
+  cand_runner, cand_batch = build_runner_and_batch(image_size, batch_size)
+  os.environ.pop('CSMRI_TPU_TRAIN_SCOPED_VMEM_KIB', None)
+
+  def window(runner, host_batch):
+    for _ in range(2):  # compile (first window) + warm
+      runner._run_one_update(host_batch, True, True)
+    start = time.perf_counter()
+    for _ in range(steps):
+      runner._run_one_update(host_batch, True, True)
+    return batch_size * steps / (time.perf_counter() - start)
+
+  window(base_runner, base_batch)  # compile both before pairing
+  window(cand_runner, cand_batch)
+  pairs = []
+  for _ in range(reps):
+    b = window(base_runner, base_batch)
+    c = window(cand_runner, cand_batch)
+    pairs.append((round(b, 2), round(c, 2)))
+  deltas = sorted(c / b - 1.0 for b, c in pairs)
+  print(json.dumps({
+      'mode': 'paired_ab', 'train_scoped_vmem_kib': kib,
+      'batch': batch_size, 'paired_windows': pairs,
+      'median_delta_pct': round(100 * deltas[len(deltas) // 2], 2),
+      'mean_delta_pct': round(100 * sum(deltas) / len(deltas), 2),
+  }), flush=True)
+
+
 def main(argv):
   parser = argparse.ArgumentParser()
   parser.add_argument('--image-size', type=int, default=256)
@@ -78,7 +115,20 @@ def main(argv):
   parser.add_argument('--options', type=int, nargs='*',
                       default=[0, 24576, 40960, 65536, 98304],
                       help='scoped-VMEM KiB values; 0 = backend default')
+  parser.add_argument('--ab', type=int, default=None, metavar='KIB',
+                      help='paired A/B mode: build the baseline (backend '
+                           'default) and the KIB-candidate runner ONCE, '
+                           'then time them in interleaved windows — the '
+                           'only protocol for small effects (NOTES round '
+                           '5 variance model)')
+  parser.add_argument('--reps', type=int, default=4,
+                      help='interleaved window pairs in --ab')
   args = parser.parse_args(argv)
+
+  if args.ab:
+    paired_ab(args.image_size, args.batches[0], args.steps, args.ab,
+              args.reps)
+    return
 
   for kib in args.options:
     if kib:

@@ -69,6 +69,42 @@ EXTENDED = [
           xla_tpu_enable_aggressive_loop_fusion_layout_opt='true')),
 ]
 
+# Round-5 re-check basket: every r4 "noise" knob re-adjudicated with the
+# paired protocol, stacked on the NEW shipped 256^2 best (40 MiB +
+# bundle-aware cost model), plus a fine scoped-VMEM scan around each
+# resolution's optimum. Select as the A/B baseline with --ab-base.
+_BEST256 = {'xla_tpu_scoped_vmem_limit_kib': '40960',
+            'xla_tpu_use_bundle_aware_cost_model_for_fusions': 'true'}
+_BEST512 = {'xla_tpu_scoped_vmem_limit_kib': '65536'}
+EXTENDED += [
+    ('b2+latency_hiding_sched',
+     dict(_BEST256, xla_tpu_enable_latency_hiding_scheduler='true')),
+    ('b2+licm_inflation_2x',
+     dict(_BEST256, xla_tpu_licm_size_inflation_ratio='2.0')),
+    ('b2+async_copy_bw_2x',
+     dict(_BEST256, xla_tpu_async_copy_bandwidth_scaling_factor='2.0')),
+    ('b2+no_rwb_fusion', dict(_BEST256, xla_tpu_rwb_fusion='false')),
+    ('b2+vector_load_window_1024',
+     dict(_BEST256, xla_tpu_vector_load_fusion_window='1024')),
+    ('b2+vector_store_window_512',
+     dict(_BEST256, xla_tpu_vector_store_fusion_window='512')),
+    ('b2+vmem_32m',
+     dict(_BEST256, xla_tpu_scoped_vmem_limit_kib='32768')),
+    ('b2+vmem_36m',
+     dict(_BEST256, xla_tpu_scoped_vmem_limit_kib='36864')),
+    ('b2+vmem_44m',
+     dict(_BEST256, xla_tpu_scoped_vmem_limit_kib='45056')),
+    ('b2+vmem_48m',
+     dict(_BEST256, xla_tpu_scoped_vmem_limit_kib='49152')),
+    ('v512+vmem_48m',
+     dict(_BEST512, xla_tpu_scoped_vmem_limit_kib='49152')),
+    ('v512+vmem_80m',
+     dict(_BEST512, xla_tpu_scoped_vmem_limit_kib='81920')),
+    ('v512+vmem_96m',
+     dict(_BEST512, xla_tpu_scoped_vmem_limit_kib='98304')),
+]
+_AB_BASES = {'best': _BEST, 'b2': _BEST256, 'v512': _BEST512}
+
 
 def main(argv):
   parser = argparse.ArgumentParser()
@@ -93,6 +129,10 @@ def main(argv):
                            'the sequential sweep is for coarse scans only.')
   parser.add_argument('--reps', type=int, default=4,
                       help='interleaved window pairs per candidate in --ab')
+  parser.add_argument('--ab-base', choices=sorted(_AB_BASES), default='best',
+                      help='which option set the --ab baseline uses: best '
+                           '(r4: 40 MiB), b2 (shipped 256^2: 40 MiB + '
+                           'bundle-aware), v512 (shipped 512^2: 64 MiB)')
   parser.add_argument('--vmem-kib', type=int, default=None,
                       help='override the scoped-VMEM KiB used as the A/B '
                            'baseline (default 40960; the shipped 512^2 '
@@ -100,8 +140,10 @@ def main(argv):
   args = parser.parse_args(argv)
   if args.vmem_kib:
     _BEST['xla_tpu_scoped_vmem_limit_kib'] = str(args.vmem_kib)
-    for _, _opts in EXTENDED:
-      if 'xla_tpu_scoped_vmem_limit_kib' in _opts:
+    for _name, _opts in EXTENDED:
+      # Only the legacy r4 'best*' rows inherit the override; the r5
+      # b2/v512 rows carry their own deliberate scoped-VMEM values.
+      if _name.startswith('best') and 'xla_tpu_scoped_vmem_limit_kib' in _opts:
         _opts['xla_tpu_scoped_vmem_limit_kib'] = str(args.vmem_kib)
 
   import jax
@@ -143,7 +185,7 @@ def main(argv):
     return timed_window(bench_loop)
 
   if args.ab:
-    base_loop = build_loop(dict(_BEST))
+    base_loop = build_loop(dict(_AB_BASES[args.ab_base]))
     warm(base_loop)
     for name, options in EXTENDED:
       if name == 'best' or not any(s in name for s in args.ab):
