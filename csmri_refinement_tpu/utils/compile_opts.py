@@ -12,7 +12,12 @@ TPU-specific tuning with no semantic effect on results:
       512^2 B128: baseline  566 -> 64 MiB  587 slices/s (+3.8%)
 
   Both optima sit well above the backend default; past them the deeper
-  fusions spill. Override with CSMRI_TPU_SCOPED_VMEM_KIB (0 drops it).
+  fusions spill. With the bundle-aware cost model on (round 5), the
+  paired-protocol fine scan moved the <512^2 optimum to 32 MiB
+  (+0.55% over 40 MiB, reproduced across two fresh processes; the
+  response is non-monotonic — 36 MiB is -0.45% — so these are discrete
+  schedule choices, not a smooth curve; NOTES round 5 session 2).
+  Override with CSMRI_TPU_SCOPED_VMEM_KIB (0 drops it).
 
 * `xla_tpu_use_bundle_aware_cost_model_for_fusions` makes the fusion
   cost model account for instruction bundling. Paired-window A/B on the
@@ -24,9 +29,10 @@ TPU-specific tuning with no semantic effect on results:
 
 import os
 
-# Measured optima (KiB). 256^2 peaks at 40 MiB, 512^2 at 64 MiB; the
-# helper picks by image size when the caller knows it.
-_DEFAULT_KIB = 40960
+# Measured optima (KiB). 256^2 peaks at 32 MiB (under the bundle-aware
+# cost model; 40 MiB before it), 512^2 at 64 MiB; the helper picks by
+# image size when the caller knows it.
+_DEFAULT_KIB = 32768
 _LARGE_IMAGE_KIB = 65536
 _BUNDLE_FLAG = 'xla_tpu_use_bundle_aware_cost_model_for_fusions'
 

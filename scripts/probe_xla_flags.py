@@ -73,7 +73,10 @@ EXTENDED = [
 # paired protocol, stacked on the NEW shipped 256^2 best (40 MiB +
 # bundle-aware cost model), plus a fine scoped-VMEM scan around each
 # resolution's optimum. Select as the A/B baseline with --ab-base.
-_BEST256 = {'xla_tpu_scoped_vmem_limit_kib': '40960',
+# Shipped <512^2 config. Was 40960 through the round-5 session-1 A/Bs;
+# the session-2 fine scan (vmem 24-48 MiB rows below, measured against
+# the 40 MiB base) moved the ship to 32 MiB (+0.55%, reproduced x2).
+_BEST256 = {'xla_tpu_scoped_vmem_limit_kib': '32768',
             'xla_tpu_use_bundle_aware_cost_model_for_fusions': 'true'}
 _BEST512 = {'xla_tpu_scoped_vmem_limit_kib': '65536'}
 EXTENDED += [
@@ -96,12 +99,20 @@ EXTENDED += [
      dict(_BEST256, xla_tpu_scoped_vmem_limit_kib='45056')),
     ('b2+vmem_48m',
      dict(_BEST256, xla_tpu_scoped_vmem_limit_kib='49152')),
+    ('b2+vmem_24m',
+     dict(_BEST256, xla_tpu_scoped_vmem_limit_kib='24576')),
+    ('b2+vmem_28m',
+     dict(_BEST256, xla_tpu_scoped_vmem_limit_kib='28672')),
     ('v512+vmem_48m',
      dict(_BEST512, xla_tpu_scoped_vmem_limit_kib='49152')),
     ('v512+vmem_80m',
      dict(_BEST512, xla_tpu_scoped_vmem_limit_kib='81920')),
     ('v512+vmem_96m',
      dict(_BEST512, xla_tpu_scoped_vmem_limit_kib='98304')),
+    ('v512+vmem_72m',
+     dict(_BEST512, xla_tpu_scoped_vmem_limit_kib='73728')),
+    ('v512+vmem_88m',
+     dict(_BEST512, xla_tpu_scoped_vmem_limit_kib='90112')),
 ]
 _AB_BASES = {'best': _BEST, 'b2': _BEST256, 'v512': _BEST512}
 

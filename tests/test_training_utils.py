@@ -173,9 +173,9 @@ def test_serving_compiler_options_gating(monkeypatch):
 
   monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
   bundle = 'xla_tpu_use_bundle_aware_cost_model_for_fusions'
-  # <512^2: 40 MiB VMEM + bundle-aware cost model (both measured wins).
+  # <512^2: 32 MiB VMEM + bundle-aware cost model (both measured wins).
   assert co.serving_compiler_options() == {
-      'xla_tpu_scoped_vmem_limit_kib': '40960', bundle: 'true'}
+      'xla_tpu_scoped_vmem_limit_kib': '32768', bundle: 'true'}
   # >=512^2: 64 MiB VMEM, bundle flag dropped (measured -2.5%, NOTES r5).
   assert co.serving_compiler_options(image_size=512) == {
       'xla_tpu_scoped_vmem_limit_kib': '65536'}
